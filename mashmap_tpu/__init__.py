@@ -1,0 +1,31 @@
+"""mashmap-tpu: a TPU-native approximate genome mapper.
+
+A from-scratch reimplementation of the capabilities of MashMap3
+(reference: marbl/MashMap v3.1.3) designed for TPU hardware:
+
+- k-mer hashing and sketching run as batched JAX/XLA computations
+  (MurmurHash3_x64_128 in uint64 lanes),
+- the reference minmer-interval index is built with a block-decomposed
+  sliding-window bottom-s threshold scan (``jax.lax.scan`` over fixed-size
+  blocks, all blocks in parallel) instead of the reference's sequential
+  deque/heap winnowing (reference: src/map/include/commonFunc.hpp:301-570),
+- stage L1 candidate finding and stage L2 sliding Jaccard are vectorized
+  sorted-array/cumsum/matmul formulations of the reference's interval-point
+  sweeps (reference: src/map/include/computeMap.hpp:915-1451),
+- multi-chip scaling is data-parallel over query fragments via
+  ``jax.sharding``/``shard_map`` (the reference uses a pthread pool,
+  src/map/include/ThreadPool.hpp).
+
+Numerical parity targets the reference's PAF output (coordinates, strand,
+``id:f`` ANI tag) on its own test workloads.
+"""
+
+import jax
+
+# Exact 64-bit hashing (MurmurHash3_x64_128) requires real uint64 lanes.
+# TPU lowers u64 to u32 pairs; results are exact either way.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from .params import Parameters, FIXED  # noqa: E402,F401

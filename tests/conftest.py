@@ -1,0 +1,14 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the standard JAX approach to testing multi-chip code without a pod
+(SURVEY.md section 4): tests never require TPU hardware.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
