@@ -1,0 +1,122 @@
+"""Index-builder tests: minmer intervals vs. a brute-force window oracle."""
+
+import numpy as np
+import pytest
+
+from mashmap_tpu.index.builder import (
+    contig_minmer_intervals, _chunk_long_intervals, _freq_threshold,
+    build_index, ReferenceIndex)
+from mashmap_tpu.kernels import winnow
+
+
+def brute_members(h, valid, s, span):
+    """member set per window, directly from the definition."""
+    n_w = len(h) - span + 1
+    out = []
+    for w in range(n_w):
+        vals = sorted({int(h[p]) for p in range(w, w + span) if valid[p]})
+        out.append(set(vals[:s]))
+    return out
+
+
+def brute_votes(h, valid, strand, span):
+    """hash -> vote sum per window."""
+    n_w = len(h) - span + 1
+    out = []
+    for w in range(n_w):
+        votes = {}
+        for p in range(w, w + span):
+            if valid[p]:
+                votes[int(h[p])] = votes.get(int(h[p]), 0) + int(strand[p])
+        out.append(votes)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_intervals_match_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n_k = 300
+    span = 25
+    s = 4
+    # small universe => heavy duplication, exercises presence dedup
+    h = rng.integers(0, 60, size=n_k).astype(np.uint64)
+    valid = rng.random(n_k) > 0.15
+    strand = np.where(rng.random(n_k) < 0.5, 1, -1).astype(np.int8)
+    n_flush = n_k  # stands in for len-k+1
+
+    theta = winnow.window_thresholds_bruteforce(h, valid, s, span)
+    (ph, pb, pe), (sh, sb, se, ss) = contig_minmer_intervals(
+        h, valid, strand, theta, span, n_flush)
+
+    members = brute_members(h, valid, s, span)
+    n_w = len(members)
+
+    # 1. membership intervals reproduce the member sets exactly
+    cover = {}
+    for hh, b, e in zip(ph, pb, pe):
+        for w in range(int(b), min(int(e), n_w)):
+            key = (int(hh), w)
+            assert key not in cover, "overlapping intervals for one hash"
+            cover[key] = True
+        # flush intervals must end at n_flush and cover through n_w-1
+        if e > n_w:
+            assert int(e) == n_flush
+    want = {(hh, w) for w in range(n_w) for hh in members[w]}
+    assert set(cover) == want
+
+    # 2. strand-split intervals partition the same coverage with the
+    #    correct sign class per window
+    votes = brute_votes(h, valid, strand, span)
+    scover = {}
+    for hh, b, e, st in zip(sh, sb, se, ss):
+        assert e > b
+        for w in range(int(b), min(int(e), n_w)):
+            key = (int(hh), w)
+            assert key not in scover
+            scover[key] = int(st)
+    assert set(scover) == want
+    for (hh, w), st in scover.items():
+        v = votes[w].get(hh, 0)
+        assert st == (-1 if v < 0 else 1), (hh, w, v, st)
+
+
+def test_chunk_long_intervals():
+    h = np.array([5, 6], np.uint64)
+    wb = np.array([0, 10], np.int64)
+    we = np.array([25, 14], np.int64)
+    st = np.array([1, -1], np.int8)
+    ch, cb, ce, cs = _chunk_long_intervals(h, wb, we, st, 10)
+    rows = sorted(zip(ch.tolist(), cb.tolist(), ce.tolist(), cs.tolist()))
+    assert rows == [(5, 0, 10, 1), (5, 10, 20, 1), (5, 20, 25, 1),
+                    (6, 10, 14, -1)]
+
+
+def test_freq_threshold():
+    # 1000 hashes, top one with huge posting size; 0.2% => ignore >= 2 of them
+    sizes = np.full(1000, 2, np.int64)
+    sizes[:3] = [100, 90, 80]
+    t = _freq_threshold(sizes, 0.2)  # to_ignore = 2
+    assert t == 90
+    assert _freq_threshold(sizes, 0.0) == np.iinfo(np.int64).max
+
+
+def test_build_index_and_save_load(tmp_path):
+    rng = np.random.default_rng(5)
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    contigs = [("c1", seq), ("tiny", "ACGT" * 10), ("c2", seq[::-1])]
+    idx = build_index(contigs, kmer_size=7, window_size=500, sketch_size=5)
+    assert idx.names == ["c1", "tiny", "c2"]
+    assert (idx.mi_seqid != 1).all()  # tiny contig not indexed
+    assert len(idx.uniq_hashes) == len(idx.post_offsets) - 1
+    assert np.all(np.diff(idx.uniq_hashes.view(np.uint64)) > 0)
+    # intervals sorted by (seqid, wpos, wend)
+    key = np.lexsort((idx.mi_wend, idx.mi_wpos, idx.mi_seqid))
+    assert np.array_equal(key, np.arange(len(key)))
+
+    p = tmp_path / "idx.npz"
+    idx.save(str(p))
+    idx2 = ReferenceIndex.load(str(p))
+    np.testing.assert_array_equal(idx.mi_hash, idx2.mi_hash)
+    np.testing.assert_array_equal(idx.post_wpos, idx2.post_wpos)
+    assert idx2.names == idx.names
+    assert idx2.kmer_size == 7 and idx2.window_size == 500
