@@ -1,0 +1,62 @@
+"""High-level API: build/load index, map queries, write PAF.
+
+Equivalent of the reference `mashmap` main (src/map/mash_map.cpp:22-57):
+index construction then query mapping, with wall-clock stage timers.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Optional
+
+from .params import Parameters
+from .index.builder import ReferenceIndex, build_index
+from .io import for_each_seq_in_file
+from .map.engine import Mapper
+
+logger = logging.getLogger("mashmap_tpu")
+
+
+def build_or_load_index(params: Parameters) -> ReferenceIndex:
+    if params.load_index_filename:
+        t0 = time.time()
+        idx = ReferenceIndex.load(params.load_index_filename)
+        logger.info("index loaded in %.2fs", time.time() - t0)
+        return idx
+
+    def contigs():
+        allowed = None
+        if params.target_list:
+            with open(params.target_list) as fh:
+                allowed = {line.strip() for line in fh if line.strip()}
+        for fname in params.ref_sequences:
+            yield from for_each_seq_in_file(
+                fname, allowed, params.target_prefix)
+
+    t0 = time.time()
+    idx = build_index(
+        contigs(), params.kmer_size, params.seg_length,
+        params.sketch_size, params.kmer_pct_threshold)
+    logger.info("reference index built in %.2fs", time.time() - t0)
+    if params.save_index_filename:
+        idx.save(params.save_index_filename)
+    return idx
+
+
+def map_files(params: Parameters,
+              index: Optional[ReferenceIndex] = None) -> ReferenceIndex:
+    """Run the full pipeline; returns the index (reusable)."""
+    params.finalize()
+    if index is None:
+        index = build_or_load_index(params)
+    mapper = Mapper(params, index)
+    t0 = time.time()
+    if params.out_file_name == "-":
+        mapper.run(params.query_sequences, sys.stdout)
+    else:
+        with open(params.out_file_name, "w") as out:
+            mapper.run(params.query_sequences, out)
+    logger.info("mapping done in %.2fs", time.time() - t0)
+    return index

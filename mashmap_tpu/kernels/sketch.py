@@ -1,0 +1,130 @@
+"""Batched query fragment sketching (bottom-s MinHash of each fragment).
+
+Reference semantics (``CommonFunc::sketchSequence``, commonFunc.hpp:182-288):
+for a query fragment, keep the s smallest *distinct* canonical k-mer
+hashes; for each kept hash accumulate a strand vote (+1 forward / -1
+reverse) over ALL its occurrences; classify votes >0/==0/<0 as
+FWD/AMBIG/REV; output is ascending by hash. K-mers containing 'N'
+(full-window rule) and palindromic-hash k-mers are skipped.
+
+The reference does this with a heap per fragment; here a whole batch of
+fragments is sketched at once: hash all windows, sort each row, take the
+first s distinct, and segment-reduce votes — all jit-compiled. Fragments
+shorter than the batch length are padded with 'N' bytes, which makes the
+padded windows invalid without touching real windows.
+
+Also computes the k-mer complexity estimate
+(reference: computeMap.hpp:830-831).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kmers import canonical_kmer_hashes
+
+UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s"))
+def sketch_fragments(frags: jax.Array, k: int, s: int):
+    """Sketch a batch of fragments.
+
+    Args:
+      frags: (B, L) uint8 sanitized ASCII bytes ('A','C','G','T','N'),
+             'N'-padded to a common length L.
+      k: k-mer size.
+      s: sketch size.
+
+    Returns:
+      hashes: (B, s) uint64 ascending, UMAX-padded.
+      strand: (B, s) int8 classified votes (FWD 1 / AMBIG 0 / REV -1).
+      count:  (B,) int32 — number of kept sketch hashes (min(s, #distinct)).
+      complexity: (B,) float64 k-mer complexity estimate; the denominator
+             uses the fragment's true (unpadded) window count, so callers
+             must rescale when L differs from the real length — see
+             `complexity_rescale`.
+    """
+    B, L = frags.shape
+    n = L - k + 1
+    hashes, strand, palin, has_n, _ = canonical_kmer_hashes(frags, k)
+    valid = ~palin & ~has_n
+    key = jnp.where(valid, hashes, UMAX)
+
+    order = jnp.argsort(key, axis=-1, stable=True)
+    skey = jnp.take_along_axis(key, order, axis=-1)
+    sstr = jnp.take_along_axis(strand.astype(jnp.int32), order, axis=-1)
+
+    newh = jnp.concatenate(
+        [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=-1)
+    newh = newh & (skey != UMAX)
+    rank = jnp.cumsum(newh.astype(jnp.int32), axis=-1) - 1  # distinct rank
+    keep = (skey != UMAX) & (rank < s)
+    slot = jnp.where(keep, rank, s)  # s = spill slot
+
+    def per_row(skey_r, sstr_r, slot_r):
+        h = jnp.full((s + 1,), UMAX, dtype=jnp.uint64).at[slot_r].min(skey_r)
+        v = jnp.zeros((s + 1,), jnp.int32).at[slot_r].add(
+            jnp.where(slot_r < s, sstr_r, 0))
+        return h[:s], v[:s]
+
+    out_h, votes = jax.vmap(per_row)(skey, sstr, slot)
+    out_strand = jnp.where(
+        out_h == UMAX, jnp.int8(0),
+        jnp.where(votes > 0, jnp.int8(1),
+                  jnp.where(votes < 0, jnp.int8(-1), jnp.int8(0))))
+
+    count = jnp.sum((out_h != UMAX).astype(jnp.int32), axis=-1)
+    max_kept = jnp.max(jnp.where(out_h == UMAX, jnp.uint64(0), out_h),
+                       axis=-1)
+    max01 = max_kept.astype(jnp.float64) / jnp.float64(
+        np.float64(2.0) ** 64)
+    denom = jnp.float64(2 * n)
+    complexity = jnp.where(
+        count > 0, (count.astype(jnp.float64) / jnp.maximum(max01, 1e-300))
+        / denom, 0.0)
+    return out_h, out_strand, count, complexity
+
+
+def complexity_rescale(complexity: np.ndarray, padded_len: int,
+                       true_len: np.ndarray, k: int) -> np.ndarray:
+    """Fix the complexity denominator for 'N'-padded fragments.
+
+    complexity = (count / max01) / (2*(len-k+1)); padding inflates len.
+    """
+    return complexity * (padded_len - k + 1) / (true_len - k + 1)
+
+
+def sketch_sequence_py(seq_u8: np.ndarray, k: int, s: int):
+    """Single-fragment sketch, plain numpy (host fallback / oracle)."""
+    from . import murmur, kmers as _k
+    n = len(seq_u8) - k + 1
+    if n <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int8), 0, 0.0)
+    h = np.empty(n, np.uint64)
+    st = np.empty(n, np.int8)
+    ok = np.empty(n, bool)
+    rc = _k.revcomp_np(seq_u8)
+    is_n = seq_u8 == ord("N")
+    cn = np.concatenate(([0], np.cumsum(is_n)))
+    for i in range(n):
+        f = murmur.murmur128_low64_py(seq_u8[i:i + k].tobytes())
+        b = murmur.murmur128_low64_py(rc[len(rc) - i - k: len(rc) - i]
+                                      .tobytes())
+        h[i] = min(f, b)
+        st[i] = 1 if f < b else -1
+        ok[i] = (f != b) and (cn[i + k] - cn[i] == 0)
+    vh = h[ok]
+    if len(vh) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int8), 0, 0.0)
+    uniq = np.unique(vh)[:s]
+    votes = np.array([st[ok][vh == u].sum() for u in uniq])
+    strand = np.sign(votes).astype(np.int8)
+    count = len(uniq)
+    max01 = float(uniq[-1]) / float(2.0 ** 64)
+    complexity = (count / max01) / (2 * n)
+    return uniq, strand, count, complexity

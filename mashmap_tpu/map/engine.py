@@ -1,0 +1,498 @@
+"""Mapping engine orchestration.
+
+Equivalent of ``skch::Map`` (reference: computeMap.hpp:53-1818), restructured
+for TPU execution:
+
+- the reference maps one whole query sequence per pthread-pool task
+  (ThreadPool.hpp); here query sequences are cut into segLength fragments
+  that form a flat batch axis — fragments from many queries are sketched
+  in one device call, then candidate finding / scoring runs per fragment;
+- results are regrouped per query, chained/merged/filtered on the host
+  (tiny row counts), and written in input order (the reference's pool
+  preserves submission order; we process in order by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import sys
+import time
+from typing import IO, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import stats
+from ..params import FIXED, Parameters, FILTER_MAP, FILTER_NONE, \
+    FILTER_ONETOONE
+from ..index.builder import ReferenceIndex
+from ..kernels import kmers
+from ..kernels.sketch import sketch_fragments, complexity_rescale, UMAX
+from . import l1 as l1_mod
+from . import l2 as l2_mod
+from . import filters, merge, output
+from .results import MappingResult
+
+logger = logging.getLogger("mashmap_tpu.map")
+
+
+@dataclasses.dataclass
+class _Fragment:
+    query_idx: int          # position in the batch's query list
+    q_start: int            # fragment offset within the query
+    q_len: int              # fragment length (== Q.len)
+    window_len: int         # max(0, q_len - seg_length)
+
+
+@dataclasses.dataclass
+class _Query:
+    name: str
+    seq: str
+    counter: int            # global sequence counter (file order)
+
+
+class Mapper:
+    """L1+L2 mapping pipeline against a built ReferenceIndex."""
+
+    def __init__(self, params: Parameters, index: ReferenceIndex):
+        self.p = params
+        self.idx = index
+        self.mi_key = l2_mod.pack_mi_key(index.mi_seqid, index.mi_wpos)
+        self.table_scale = max(
+            1.0, params.sketch_size / FIXED.ss_table_max)
+        if params.stage1_topANI_filter:
+            self.cutoff_table = stats.sketch_cutoffs(
+                params.sketch_size, params.kmer_size,
+                params.ANIDiff, params.ANIDiffConf, FIXED.ss_table_max)
+        else:
+            self.cutoff_table = None
+        self.ref_groups = self._set_ref_groups() \
+            if params.skip_prefix else np.zeros(index.n_contigs, np.int64)
+        self._min_hits_cache: dict[int, int] = {}
+        self._ub_cache: dict[tuple, float] = {}
+        self._name_arr = np.array(index.names)
+        # one-to-one bookkeeping
+        self.qmetadata: list[tuple[str, int]] = []
+        self._buffered: List[MappingResult] = []
+        # counters (reference prints these at the end, computeMap.hpp:409-414)
+        self.total_reads_picked = 0
+        self.total_reads_mapped = 0
+        self.total_seq_counter = 0
+        self.total_bp = 0
+
+    # --- prefix grouping (computeMap.hpp:144-177) ---
+    @staticmethod
+    def _prefix(name: str, delim: str) -> str:
+        i = name.rfind(delim)
+        return name if i < 0 else name[:i]
+
+    def _set_ref_groups(self) -> np.ndarray:
+        groups = np.zeros(self.idx.n_contigs, np.int64)
+        group = 0
+        i = 0
+        while i < self.idx.n_contigs:
+            pref = self._prefix(self.idx.names[i], self.p.prefix_delim)
+            j = i
+            while j < self.idx.n_contigs and \
+                    self._prefix(self.idx.names[j],
+                                 self.p.prefix_delim) == pref:
+                groups[j] = group
+                j += 1
+            group += 1
+            i = j
+        return groups
+
+    def _get_ref_group(self, seq_name: str) -> int:
+        pref = self._prefix(seq_name, self.p.prefix_delim)
+        for i in range(self.idx.n_contigs):
+            if self._prefix(self.idx.names[i], self.p.prefix_delim) == pref:
+                return int(self.ref_groups[i])
+        return -1
+
+    # --- cached statistics ---
+    def _minimum_hits(self, s_q: int) -> int:
+        v = self._min_hits_cache.get(s_q)
+        if v is None:
+            v = stats.estimate_minimum_hits_relaxed(
+                s_q, self.p.kmer_size, self.p.percentage_identity,
+                FIXED.confidence_interval)
+            self._min_hits_cache[s_q] = v
+        return v
+
+    def _identity_ub(self, shared: int, s_q: int) -> float:
+        key = (shared, s_q)
+        v = self._ub_cache.get(key)
+        if v is None:
+            mash_dist = stats.j2md(
+                float(np.float32(1.0) * np.float32(shared)
+                      / np.float32(s_q)), self.p.kmer_size)
+            v = 1.0 - stats.md_lower_bound(
+                mash_dist, s_q, self.p.kmer_size, FIXED.confidence_interval)
+            self._ub_cache[key] = v
+        return v
+
+    # ------------------------------------------------------------------
+    def _fragment_query(self, qlen: int) -> List[Tuple[int, int]]:
+        """(q_start, q_len) per fragment (computeMap.hpp:587-671)."""
+        p = self.p
+        if not p.split or qlen <= p.seg_length:
+            return [(0, qlen)]
+        out = []
+        n = qlen // p.seg_length
+        for i in range(n):
+            out.append((i * p.seg_length, p.seg_length))
+        if n >= 1 and qlen % p.seg_length != 0:
+            out.append((qlen - p.seg_length, p.seg_length))
+        return out
+
+    def _sketch_batch(self, seqs: List[np.ndarray]):
+        """Device-sketch fragments, bucketed by padded length."""
+        import jax.numpy as jnp
+        p = self.p
+        n = len(seqs)
+        res_h = [None] * n
+        res_s = [None] * n
+        res_cnt = [0] * n
+        res_cx = [0.0] * n
+        # bucket by padded length (multiples of seg_length)
+        buckets: dict[int, list[int]] = {}
+        for i, sq in enumerate(seqs):
+            pl = max(p.seg_length,
+                     -(-len(sq) // p.seg_length) * p.seg_length)
+            buckets.setdefault(pl, []).append(i)
+        for pl, idxs in buckets.items():
+            mat = np.full((len(idxs), pl), ord("N"), np.uint8)
+            for r, i in enumerate(idxs):
+                mat[r, : len(seqs[i])] = seqs[i]
+            h, st, cnt, cx = sketch_fragments(
+                jnp.asarray(mat), p.kmer_size, p.sketch_size)
+            h = np.asarray(h)
+            st = np.asarray(st)
+            cnt = np.asarray(cnt)
+            cx = np.asarray(cx)
+            for r, i in enumerate(idxs):
+                res_h[i] = h[r]
+                res_s[i] = st[r]
+                res_cnt[i] = int(cnt[r])
+                res_cx[i] = float(complexity_rescale(
+                    cx[r], pl, np.int64(len(seqs[i])), p.kmer_size))
+        return res_h, res_s, res_cnt, res_cx
+
+    # ------------------------------------------------------------------
+    def _map_fragment(self, q: _Query, frag: _Fragment,
+                      q_hashes: np.ndarray, q_strand: np.ndarray,
+                      count: int, complexity: float,
+                      allowed: Optional[np.ndarray],
+                      q_ref_group: int) -> List[MappingResult]:
+        """mapSingleQueryFrag equivalent (computeMap.hpp:755-815)."""
+        p = self.p
+        if count == 0 or complexity < p.kmer_complexity_threshold:
+            return []
+        hashes = q_hashes[:count]
+        strands = q_strand[:count].astype(np.int64)
+        # frequent-seed filtering (computeMap.hpp:833-839)
+        freq = self.idx.is_freq_seed(hashes)
+        if freq.any():
+            hashes = hashes[~freq]
+            strands = strands[~freq]
+        s_q = len(hashes)
+        if s_q == 0:
+            return []
+
+        minimum_hits = self._minimum_hits(s_q)
+        seqid, wpos, wend, hrep = l1_mod.gather_postings(self.idx, hashes)
+        if allowed is not None and len(seqid):
+            keep = allowed[seqid]
+            seqid, wpos, wend, hrep = (seqid[keep], wpos[keep],
+                                       wend[keep], hrep[keep])
+        if len(seqid) == 0:
+            return []
+
+        # group interval points by reference prefix group
+        # (doL1Mapping, computeMap.hpp:1146-1165)
+        if p.skip_prefix:
+            gsel = self.ref_groups[seqid]
+            group_vals = np.unique(gsel)
+        else:
+            gsel = None
+            group_vals = np.array([0])
+
+        wl = frag.window_len
+        rows: List[MappingResult] = []
+        for gv in group_vals:
+            if gsel is None:
+                sq, wp, we, hr = seqid, wpos, wend, hrep
+            else:
+                sel = gsel == gv
+                sq, wp, we, hr = (seqid[sel], wpos[sel], wend[sel],
+                                  hrep[sel])
+            if wl == 0:
+                cands = l1_mod.l1_candidates(
+                    sq, wp, we, minimum_hits, s_q, p.seg_length,
+                    p.stage1_topANI_filter, self.cutoff_table,
+                    self.table_scale, p.stage2_full_scan)
+            else:
+                cands = l1_mod.l1_candidates_windowed(
+                    sq, wp, we, hr, wl, minimum_hits, s_q,
+                    p.seg_length, p.stage1_topANI_filter,
+                    self.cutoff_table, self.table_scale,
+                    p.stage2_full_scan)
+            rows.extend(self._do_l2(q, frag, hashes, strands, s_q,
+                                    complexity, cands))
+        rows.sort(key=lambda m: (m.ref_seq_id, m.ref_start))
+        return rows
+
+    def _do_l2(self, q: _Query, frag: _Fragment, hashes, strands, s_q,
+               complexity, cands) -> List[MappingResult]:
+        """doL2Mapping equivalent (computeMap.hpp:1181-1267)."""
+        p = self.p
+        k = p.kmer_size
+        if not cands:
+            return []
+        if p.stage1_topANI_filter:
+            cands = sorted(cands, key=lambda c: -c.intersection)
+        best_jacc_num = 0.0
+        rows: List[MappingResult] = []
+        f32 = np.float32
+        for c in cands:
+            if p.stage1_topANI_filter:
+                # float32 arithmetic mirrors the reference's `float` path
+                # (computeMap.hpp:1196-1201)
+                j_best = float(f32(best_jacc_num / s_q))
+                cutoff_ani = max(0.0, float(
+                    f32(f32(1.0) - f32(stats.j2md(j_best, k))
+                        - f32(p.ANIDiff))))
+                cutoff_j = float(f32(stats.md2j(1.0 - cutoff_ani, k)))
+                if float(c.intersection) / s_q < cutoff_j:
+                    break
+            loci = l2_mod.l2_mapped_regions(
+                self.idx, self.mi_key, hashes, strands,
+                c.seq_id, c.range_start, c.range_end,
+                p.seg_length, frag.window_len)
+            for loc in loci:
+                mash_dist = stats.j2md(
+                    float(f32(1.0) * f32(loc.shared_sketch_size)
+                          / f32(s_q)), k)
+                nuc_id = float(f32(1) - f32(mash_dist))
+                nuc_id_ub = self._identity_ub(loc.shared_sketch_size, s_q)
+                if (p.keep_low_pct_id
+                        and nuc_id_ub >= p.percentage_identity) \
+                        or nuc_id >= p.percentage_identity:
+                    best_jacc_num = max(best_jacc_num,
+                                        float(loc.shared_sketch_size))
+                    m = MappingResult(
+                        query_len=frag.q_len,
+                        ref_start=loc.mean_optimal_pos,
+                        ref_end=loc.mean_optimal_pos + frag.q_len,
+                        query_start=0,
+                        query_end=frag.q_len,
+                        ref_seq_id=loc.seq_id,
+                        query_seq_id=q.counter,
+                        nuc_identity=nuc_id,
+                        nuc_identity_ub=nuc_id_ub,
+                        sketch_size=s_q,
+                        conserved_sketches=loc.shared_sketch_size,
+                        strand=loc.strand,
+                        kmer_complexity=complexity,
+                    )
+                    m.block_length = max(m.ref_end - m.ref_start,
+                                         m.query_end - m.query_start)
+                    m.approx_matches = output.cpp_round(
+                        m.nuc_identity * m.block_length / 100.0)
+                    rows.append(m)
+        return rows
+
+    # ------------------------------------------------------------------
+    def map_queries(self, queries: List[_Query]) -> List[
+            Tuple[_Query, List[MappingResult]]]:
+        """Map a batch of query sequences (batched device sketching)."""
+        p = self.p
+        frags: List[_Fragment] = []
+        frag_seqs: List[np.ndarray] = []
+        sanitized: List[np.ndarray] = []
+        for qi, q in enumerate(queries):
+            s_u8 = kmers.sanitize(q.seq.encode("ascii"))
+            sanitized.append(s_u8)
+            for (qs, qlen) in self._fragment_query(len(q.seq)):
+                frags.append(_Fragment(
+                    qi, qs, qlen, max(0, qlen - p.seg_length)))
+                frag_seqs.append(s_u8[qs:qs + qlen])
+
+        h, st, cnt, cx = self._sketch_batch(frag_seqs)
+
+        results: List[Tuple[_Query, List[MappingResult]]] = []
+        fi = 0
+        for qi, q in enumerate(queries):
+            # per-query reference-sequence admissibility
+            # (getSeedIntervalPoints, computeMap.hpp:887-894)
+            allowed = None
+            if p.skip_self or p.skip_prefix or p.lower_triangular:
+                allowed = np.ones(self.idx.n_contigs, bool)
+                if p.skip_self:
+                    allowed &= self._name_arr != q.name
+                if p.lower_triangular:
+                    allowed &= q.counter > np.arange(self.idx.n_contigs)
+                # skip_prefix is handled via group comparison:
+                if p.skip_prefix:
+                    qg = self._get_ref_group(q.name)
+                    allowed &= self.ref_groups != qg
+            q_ref_group = self._get_ref_group(q.name) \
+                if p.skip_prefix else -1
+
+            qlen = len(q.seq)
+            unfiltered: List[MappingResult] = []
+            split_mapping = p.split and qlen > p.seg_length
+            while fi < len(frags) and frags[fi].query_idx == qi:
+                fr = frags[fi]
+                rows = self._map_fragment(
+                    q, fr, h[fi], st[fi], cnt[fi], cx[fi], allowed,
+                    q_ref_group)
+                if split_mapping:
+                    for m in rows:
+                        m.query_len = qlen
+                        m.query_start = fr.q_start
+                        m.query_end = fr.q_start + fr.q_len
+                unfiltered.extend(rows)
+                fi += 1
+
+            n_mappings = (p.num_mappings_for_short_sequence
+                          if qlen < p.seg_length
+                          else p.num_mappings_for_segment) - 1
+
+            if split_mapping and p.merge_mappings:
+                unfiltered = merge.merge_mappings_in_range(
+                    unfiltered, p.chain_gap)
+                unfiltered = filters.filter_weak_mappings(
+                    unfiltered, p.block_length // p.seg_length)
+
+            if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
+                unfiltered = self._filter_by_group(
+                    unfiltered, n_mappings, filter_ref=False)
+
+            if p.filter_length_mismatches:
+                unfiltered = filters.filter_false_high_identity(
+                    unfiltered, p.percentage_identity)
+
+            filters.mapping_boundary_sanity_check(
+                unfiltered, qlen, self.idx.lengths)
+            unfiltered = filters.sparsify_mappings(
+                unfiltered, p.sparsity_hash_threshold)
+
+            results.append((q, unfiltered))
+        return results
+
+    def _filter_by_group(self, rows: List[MappingResult], n_mappings: int,
+                         filter_ref: bool) -> List[MappingResult]:
+        """filterByGroup (computeMap.hpp:504-561)."""
+        p = self.p
+        rows = sorted(rows, key=lambda m: (m.ref_seq_id, m.ref_start))
+        out: List[MappingResult] = []
+        i = 0
+        while i < len(rows):
+            if p.skip_prefix:
+                g = self.ref_groups[rows[i].ref_seq_id]
+                j = i
+                while j < len(rows) and \
+                        self.ref_groups[rows[j].ref_seq_id] == g:
+                    j += 1
+            else:
+                j = len(rows)
+            sub = sorted(rows[i:j], key=lambda m: (
+                m.query_start, m.ref_seq_id, m.ref_start))
+            if filter_ref:
+                filters.filter_by_ref_axis(sub, n_mappings,
+                                           self.idx.lengths)
+            else:
+                filters.filter_by_query_axis(sub, n_mappings)
+            out.extend(sub)
+            i = j
+        out.sort(key=lambda m: (m.query_start, m.ref_seq_id, m.ref_start))
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, query_files: Sequence[str], out: IO[str]) -> None:
+        """Full mapQuery equivalent: stream files, map, write output."""
+        from ..io import for_each_seq_in_file
+        p = self.p
+        t0 = time.time()
+
+        pending: List[_Query] = []
+        pending_frags = 0
+
+        def flush():
+            nonlocal pending, pending_frags
+            if not pending:
+                return
+            for q, rows in self.map_queries(pending):
+                self._emit(q, rows, out)
+            pending = []
+            pending_frags = 0
+
+        for fname in query_files:
+            for name, seq in for_each_seq_in_file(fname):
+                qlen = len(seq)
+                if p.filter_mode == FILTER_ONETOONE:
+                    self.qmetadata.append((name, qlen))
+                if qlen >= p.kmer_size:
+                    self.total_reads_picked += 1
+                    pending.append(_Query(name, seq,
+                                          self.total_seq_counter))
+                    pending_frags += max(1, qlen // p.seg_length)
+                    if pending_frags >= p.batch_fragments:
+                        flush()
+                else:
+                    logger.warning(
+                        "read %s of %dbp is not long enough for mapping",
+                        name, qlen)
+                self.total_seq_counter += 1
+                self.total_bp += qlen
+        flush()
+
+        if p.filter_mode == FILTER_ONETOONE:
+            self._finish_one_to_one(out)
+
+        logger.info(
+            "count of mapped reads = %d, reads qualified for mapping = %d, "
+            "total input reads = %d, total input bp = %d [%.1fs]",
+            self.total_reads_mapped, self.total_reads_picked,
+            self.total_seq_counter, self.total_bp, time.time() - t0)
+
+    def _emit(self, q: _Query, rows: List[MappingResult],
+              out: IO[str]) -> None:
+        if rows:
+            self.total_reads_mapped += 1
+        if self.p.filter_mode == FILTER_ONETOONE:
+            self._buffered.extend(rows)
+        else:
+            output.write_mappings(
+                out, rows, lambda m: q.name, self.idx.names,
+                self.idx.lengths, self.p.legacy_output,
+                self.p.merge_mappings, self.p.report_ANI_percentage)
+
+    def _finish_one_to_one(self, out: IO[str]) -> None:
+        """Reference-axis global pass (mapQuery, computeMap.hpp:357-405)."""
+        p = self.p
+        n = p.num_mappings_for_segment - 1
+        rows = self._buffered
+        result: List[MappingResult] = []
+        i = 0
+        while i < len(rows):
+            if p.skip_prefix:
+                g = self._get_ref_group(
+                    self.qmetadata[rows[i].query_seq_id][0])
+                j = i
+                while j < len(rows) and self._get_ref_group(
+                        self.qmetadata[rows[j].query_seq_id][0]) == g:
+                    j += 1
+            else:
+                j = len(rows)
+            sub = rows[i:j]
+            result.extend(self._filter_by_group(sub, n, filter_ref=True))
+            i = j
+        result.sort(key=lambda m: (m.query_seq_id, m.query_start,
+                                   m.ref_seq_id, m.ref_start))
+        output.write_mappings(
+            out, result,
+            lambda m: self.qmetadata[m.query_seq_id][0],
+            self.idx.names, self.idx.lengths, p.legacy_output,
+            p.merge_mappings, p.report_ANI_percentage)

@@ -1,0 +1,110 @@
+"""Split-fragment chain merging (reference: Map::mergeMappingsInRange,
+computeMap.hpp:1579-1704) with union-find.
+
+Each long query is mapped as independent segLength fragments (the batch
+axis on TPU); afterwards, fragment mappings that continue each other on
+the same reference/strand within `max_dist` (2D euclidean + colinearity
+score) are united and collapsed into one chained mapping whose bounds are
+the union and whose identity/complexity are the chain means.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from .results import MappingResult
+
+
+class DisjointSets:
+    """Union-find with union-by-rank (reference: src/common/dset64.hpp)."""
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+        self.rank = [0] * n
+
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def unite(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+
+def merge_mappings_in_range(mappings: List[MappingResult],
+                            max_dist: int) -> List[MappingResult]:
+    """Chain and collapse fragment mappings (computeMap.hpp:1579-1704)."""
+    if len(mappings) < 2:
+        return mappings
+
+    mappings.sort(key=lambda m: (m.ref_seq_id, m.ref_start, m.query_start))
+    for i, m in enumerate(mappings):
+        m.split_mapping_id = i
+        m.discard = 0
+
+    ds = DisjointSets(len(mappings))
+    for i, a in enumerate(mappings):
+        best: tuple | None = None
+        for b in mappings[i + 1:]:
+            if b.ref_seq_id != a.ref_seq_id \
+                    or b.ref_start > a.ref_end + max_dist:
+                break
+            if b.strand != a.strand:
+                continue
+            ref_dist = b.ref_start - a.ref_end
+            if a.strand == 1 and a.query_start <= b.query_start:
+                query_dist = b.query_start - a.query_end
+            elif a.strand != 1 and a.query_end >= b.query_end:
+                query_dist = a.query_start - b.query_end
+            else:
+                continue
+            dist = math.sqrt(query_dist ** 2 + ref_dist ** 2)
+            score = float(query_dist - ref_dist) ** 2
+            if dist < max_dist:
+                cand = (dist + score, b.split_mapping_id)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            ds.unite(a.split_mapping_id, best[1])
+
+    for m in mappings:
+        m.split_mapping_id = ds.find(m.split_mapping_id)
+
+    mappings.sort(key=lambda m: m.split_mapping_id)
+
+    out: List[MappingResult] = []
+    i = 0
+    while i < len(mappings):
+        j = i
+        while j < len(mappings) \
+                and mappings[j].split_mapping_id == mappings[i].split_mapping_id:
+            j += 1
+        chain = mappings[i:j]
+        head = chain[0]
+        head.query_start = min(m.query_start for m in chain)
+        head.ref_start = min(m.ref_start for m in chain)
+        head.query_end = max(m.query_end for m in chain)
+        head.ref_end = max(m.ref_end for m in chain)
+        head.block_length = max(head.ref_end - head.ref_start,
+                                head.query_end - head.query_start)
+        from .output import cpp_round
+        head.approx_matches = cpp_round(
+            head.nuc_identity * head.block_length / 100.0)
+        head.n_merged = len(chain)
+        head.nuc_identity = sum(m.nuc_identity for m in chain) / len(chain)
+        head.kmer_complexity = (
+            sum(m.kmer_complexity for m in chain) / len(chain))
+        out.append(head)
+        i = j
+    return out

@@ -1,0 +1,169 @@
+"""End-to-end mapping tests on synthetic pangenomes.
+
+Mirrors the reference's CI acceptance test (an all-vs-all pangenome
+self-mapping with a per-sequence mapped-coverage gate,
+.github/workflows/build-and-test.yml:66-74 + scripts/test.sh): every
+sequence must be covered >= 0.92 by its mappings.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from mashmap_tpu.params import Parameters, FILTER_ONETOONE
+from mashmap_tpu.api import map_files, build_or_load_index
+from mashmap_tpu.map.engine import Mapper
+from tests.genomes import pangenome, write_fasta, mutate, revcomp, \
+    random_genome
+
+
+def paf_coverage(paf_lines, which="query"):
+    """Per-sequence covered fraction (bedtools merge equivalent)."""
+    spans = {}
+    lens = {}
+    for line in paf_lines:
+        f = line.split("\t")
+        if which == "query":
+            name, ln, a, b = f[0], int(f[1]), int(f[2]), int(f[3])
+        else:
+            name, ln, a, b = f[5], int(f[6]), int(f[7]), int(f[8])
+        spans.setdefault(name, []).append((a, b))
+        lens[name] = ln
+    cov = {}
+    for name, iv in spans.items():
+        iv.sort()
+        total = 0
+        cur_a, cur_b = iv[0]
+        for a, b in iv[1:]:
+            if a > cur_b:
+                total += cur_b - cur_a
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        total += cur_b - cur_a
+        cov[name] = total / lens[name]
+    return cov
+
+
+def run_mapping(tmp_path, records, queries=None, **kw):
+    ref = tmp_path / "ref.fa"
+    write_fasta(str(ref), records)
+    params = Parameters(ref_sequences=[str(ref)], **kw)
+    if queries is not None:
+        qf = tmp_path / "q.fa"
+        write_fasta(str(qf), queries)
+        params.query_sequences = [str(qf)]
+    params.out_file_name = str(tmp_path / "out.paf")
+    map_files(params)
+    with open(params.out_file_name) as fh:
+        return [line.rstrip("\n") for line in fh]
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    return dict(kmer_size=11, seg_length=500, sketch_size=30)
+
+
+def test_query_vs_ref_mapping(tmp_path, small_params):
+    """A 5%-diverged query maps back with ~95% ANI and high coverage."""
+    base = random_genome(30_000, seed=1)
+    qseq = mutate(base, 0.05, seed=2)
+    lines = run_mapping(
+        tmp_path, [("ref1", base)], [("q1", qseq)],
+        percentage_identity=0.80, **small_params)
+    assert lines, "no mappings produced"
+    cov = paf_coverage(lines, "query")
+    assert cov["q1"] >= 0.92, cov
+    # ANI estimates should straddle ~0.95
+    anis = [float(x.split("id:f:")[1].split("\t")[0]) for x in lines]
+    assert 0.90 <= np.mean(anis) <= 0.99, np.mean(anis)
+    # strands all forward
+    assert all(line.split("\t")[4] == "+" for line in lines)
+
+
+def test_reverse_complement_mapping(tmp_path, small_params):
+    base = random_genome(8_000, seed=3)
+    lines = run_mapping(
+        tmp_path, [("ref1", base)], [("rc", revcomp(base))],
+        percentage_identity=0.80, **small_params)
+    assert lines
+    assert all(line.split("\t")[4] == "-" for line in lines)
+    cov = paf_coverage(lines, "query")
+    assert cov["rc"] >= 0.92
+
+
+def test_allvsall_selfmap_coverage_gate(tmp_path, small_params):
+    """The reference CI gate: pangenome self-map coverage >= 0.92."""
+    recs = pangenome(4, 20_000, divergence=0.05, seed=7)
+    lines = run_mapping(
+        tmp_path, recs, None,
+        percentage_identity=0.80,
+        num_mappings_for_segment=1,
+        skip_prefix=True, prefix_delim="#",
+        **small_params)
+    assert lines
+    cov = paf_coverage(lines, "query")
+    for name, c in cov.items():
+        assert c >= 0.92, (name, cov)
+    # self mappings (same prefix group) must be excluded
+    for line in lines:
+        f = line.split("\t")
+        assert f[0].split("#")[1] != f[5].split("#")[1], line
+
+
+def test_one_to_one_mode(tmp_path, small_params):
+    recs = pangenome(3, 12_000, divergence=0.04, seed=9)
+    lines = run_mapping(
+        tmp_path, recs, None,
+        percentage_identity=0.80,
+        filter_mode=FILTER_ONETOONE,
+        skip_prefix=True, prefix_delim="#",
+        **small_params)
+    assert lines
+    # output sorted by query order then position
+    keys = [(line.split("\t")[0], int(line.split("\t")[2]))
+            for line in lines]
+    assert keys == sorted(keys)
+
+
+def test_short_and_tiny_queries(tmp_path, small_params):
+    base = random_genome(5_000, seed=11)
+    queries = [
+        ("short", base[1000:1300]),     # < segLength: single fragment
+        ("tiny", "ACGT"),               # < k: skipped entirely
+        ("exact", base[:500]),          # == segLength
+    ]
+    lines = run_mapping(
+        tmp_path, [("ref1", base)], queries,
+        percentage_identity=0.80, **small_params)
+    names = {line.split("\t")[0] for line in lines}
+    assert "short" in names
+    assert "exact" in names
+    assert "tiny" not in names
+    for line in lines:
+        f = line.split("\t")
+        if f[0] == "short":
+            # a query shorter than the index window length has inherent
+            # placement smear of up to (segLength - qlen); the exact value
+            # is checked by the golden-parity test against the reference
+            assert int(f[7]) == pytest.approx(1000, abs=250)
+            assert float(f[12].split(":")[-1]) > 0.99
+
+
+def test_paf_format_fields(tmp_path, small_params):
+    base = random_genome(3_000, seed=13)
+    lines = run_mapping(
+        tmp_path, [("r", base)], [("q", base)],
+        percentage_identity=0.80, **small_params)
+    f = lines[0].split("\t")
+    assert len(f) == 14
+    assert f[4] in "+-"
+    assert f[11] == "255"  # perfect identity => mapq 255
+    assert f[12].startswith("id:f:")
+    assert f[13].startswith("kc:f:")
+    # jc tag appears when merging is off
+    lines2 = run_mapping(
+        tmp_path, [("r", base)], [("q", base)],
+        percentage_identity=0.80, merge_mappings=False, **small_params)
+    assert any("jc:f:" in line for line in lines2)

@@ -1,0 +1,140 @@
+"""Golden-output parity vs. the REFERENCE C++ mashmap binary.
+
+Builds the reference from /root/reference (with local GSL shims, see
+tests/oracle/) and diffs PAF outputs line by line on synthetic genomes.
+This is the strongest available correctness check: both mappers see the
+same FASTA and the same parameters.
+
+Known, documented divergence sources (kept small by construction):
+- reference winnowing emits rare spurious/split intervals its authors
+  flag as bugs (commonFunc.hpp:522-528,560-568) — we compute exact
+  bottom-s set semantics;
+- merged-chain representative rows (PAF col 10) depend on the reference's
+  unstable std::sort for chains > 16 rows.
+The tests therefore require a high match fraction plus exact agreement on
+the core columns for matching (query, position-bucket) keys.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mashmap_tpu.params import Parameters
+from mashmap_tpu.api import map_files
+from tests.genomes import pangenome, write_fasta, mutate, random_genome
+
+ORACLE = "/tmp/mashmap_ref/mashmap"
+HERE = os.path.dirname(__file__)
+
+
+@pytest.fixture(scope="module")
+def oracle_bin():
+    r = subprocess.run([os.path.join(HERE, "oracle", "build_ref.sh")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"reference oracle build failed: {r.stderr}")
+    return r.stdout.strip().splitlines()[-1]
+
+
+def run_reference(oracle_bin, ref, query, out, extra):
+    cmd = [oracle_bin, "-r", ref, "-o", out] + extra
+    if query:
+        cmd += ["-q", query]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out) as fh:
+        return [line.rstrip("\n") for line in fh]
+
+
+def run_ours(tmp_path, ref, query, **kw):
+    params = Parameters(ref_sequences=[ref], **kw)
+    if query:
+        params.query_sequences = [query]
+    params.out_file_name = str(tmp_path / "ours.paf")
+    map_files(params)
+    with open(params.out_file_name) as fh:
+        return [line.rstrip("\n") for line in fh]
+
+
+def paf_core(line):
+    """(qname, qstart, qend, strand, tname, tstart, tend, id-tag)."""
+    f = line.split("\t")
+    return (f[0], int(f[2]), int(f[3]), f[4], f[5], int(f[7]), int(f[8]),
+            f[12] if len(f) > 12 else "")
+
+
+def compare(ref_lines, our_lines, min_exact=0.95):
+    """Fraction of exactly matching core rows must be >= min_exact."""
+    a = set(map(paf_core, ref_lines))
+    b = set(map(paf_core, our_lines))
+    inter = len(a & b)
+    denom = max(len(a), len(b), 1)
+    frac = inter / denom
+    if frac < min_exact:
+        only_ref = sorted(a - b)[:8]
+        only_ours = sorted(b - a)[:8]
+        raise AssertionError(
+            f"parity {frac:.3f} < {min_exact} "
+            f"(ref {len(a)} rows, ours {len(b)} rows)\n"
+            f"ref-only: {only_ref}\nours-only: {only_ours}")
+    return frac
+
+
+def test_parity_query_vs_ref(tmp_path, oracle_bin):
+    base = random_genome(60_000, seed=21)
+    q = mutate(base, 0.05, seed=22)
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", base)])
+    write_fasta(qf, [("q1", q)])
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80)
+    assert len(ref_lines) > 0
+    compare(ref_lines, our_lines)
+
+
+def test_parity_selfmap_pangenome(tmp_path, oracle_bin):
+    recs = pangenome(4, 30_000, divergence=0.05, seed=31)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, recs)
+    ref_lines = run_reference(
+        oracle_bin, ref, None, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80",
+         "-Y", "#", "-n", "1"])
+    our_lines = run_ours(
+        tmp_path, ref, None,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80,
+        skip_prefix=True, prefix_delim="#",
+        num_mappings_for_segment=1)
+    assert len(ref_lines) > 0
+    compare(ref_lines, our_lines)
+
+
+def test_parity_revcomp_and_short(tmp_path, oracle_bin):
+    base = random_genome(25_000, seed=41)
+    comp = str.maketrans("ACGT", "TGCA")
+    rc = base.translate(comp)[::-1]
+    queries = [("rc", rc), ("short", base[5000:5600]),
+               ("mut", mutate(base[2000:15000], 0.03, seed=42))]
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", base)])
+    write_fasta(qf, queries)
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80)
+    assert len(ref_lines) > 0
+    compare(ref_lines, our_lines)
