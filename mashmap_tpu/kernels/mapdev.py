@@ -1,0 +1,312 @@
+"""Device-side mapping pipeline (the flagship jittable step).
+
+Two jit-compiled kernels replace the reference's per-thread pointer-chasing
+mapping loop (computeMap.hpp:755-1451):
+
+``l1_step``: for a (B, L) batch of query fragments —
+  sketch (bottom-s minhash) -> CSR lookup (searchsorted) -> postings
+  gather -> interval-endpoint sort -> prefix-sum sweep -> candidate-run
+  extraction + clustering. Everything is fixed-shape vector work; rows
+  whose postings exceed the static caps are flagged for the (bit-identical)
+  host fallback.
+
+``l2_step``: for a (W,) batch of L1 candidates —
+  gather the candidate's minmer-interval slice and compute the full
+  shared-sketch trajectory with batched integer matmuls (the SlideMapper
+  recurrence in closed form; see map/l2.py) — MXU-shaped work.
+
+Plateau extraction, ANIDiff pruning, chaining and filtering stay on the
+host: they touch only a few hundred rows per query.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sketch import sketch_fragments, UMAX
+
+NEG = np.int64(-1)
+KEY_PAD = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+class L1Config(NamedTuple):
+    k: int
+    s: int                 # param sketch size
+    seg_length: int
+    p_cap: int = 512       # max gathered intervals per fragment
+    c_cap: int = 16        # max candidate regions per fragment
+    t_cap: int = 512       # max L2 entries per candidate
+    table_scale: float = 1.0
+    n_groups: int = 1      # reference prefix groups (skip_prefix)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
+            post_wend, is_frequent, min_hits_table, cutoff_table,
+            allowed, ref_group, cfg: L1Config):
+    """Fragment batch -> sketches + L1 candidate regions.
+
+    Args:
+      frags: (B, L) uint8 sanitized fragment bytes ('N'-padded).
+      uniq_hashes/(post_*)/is_frequent: device index (CSR postings).
+      min_hits_table: (s+1,) int32 — estimateMinimumHitsRelaxed per s_q.
+      cutoff_table: (ss+1,) int32 hypergeometric cutoffs (or all-ones).
+      allowed: (B, n_contigs) bool — per-fragment admissible reference
+        sequences (skip_self / skip_prefix / lower_triangular masks,
+        computeMap.hpp:887-894).
+      cfg: static shape configuration.
+
+    Returns dict of per-fragment sketches, candidates, and overflow flags.
+    """
+    B = frags.shape[0]
+    s = cfg.s
+    U = uniq_hashes.shape[0]
+    P = cfg.p_cap
+
+    q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
+
+    # --- frequent-seed filter + compaction (order-preserving) ---
+    pos0 = jnp.searchsorted(uniq_hashes, q_hash)          # (B, s)
+    posc = jnp.minimum(pos0, max(U - 1, 0))
+    found = (q_hash != UMAX)
+    if U > 0:
+        found &= uniq_hashes[posc] == q_hash
+        freq = found & is_frequent[posc]
+    else:
+        found &= False
+        freq = jnp.zeros_like(found)
+    keep = (q_hash != UMAX) & ~freq
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    q_hash_c = jnp.take_along_axis(
+        jnp.where(keep, q_hash, UMAX), order, axis=1)
+    q_strand_c = jnp.take_along_axis(
+        jnp.where(keep, q_strand, 0), order, axis=1)
+    s_q = jnp.sum(keep, axis=1).astype(jnp.int32)         # (B,)
+    min_hits = min_hits_table[s_q]
+
+    # --- postings ranges (only kept+found sketch hashes) ---
+    use = keep & found
+    start = jnp.where(use, post_offsets[posc], 0)
+    cnt = jnp.where(use, post_offsets[jnp.minimum(posc + 1, U)] - start, 0)
+    cum = jnp.cumsum(cnt, axis=1)
+    base = cum - cnt
+    total = cum[:, -1]
+    overflow_l1 = total > P
+
+    # gather up to P intervals per row
+    j = jnp.arange(P)[None, :]                            # (1, P)
+    slot = jax.vmap(
+        lambda c, jj: jnp.searchsorted(c, jj, side="right"))(
+            cum, jnp.broadcast_to(j, (B, P)))
+    slot = jnp.minimum(slot, s - 1)
+    src = (jnp.take_along_axis(start, slot, axis=1)
+           + (j - jnp.take_along_axis(base, slot, axis=1)))
+    valid_j = j < jnp.minimum(total, P)[:, None]
+    srcc = jnp.clip(src, 0, max(post_seqid.shape[0] - 1, 0))
+    g_seq = jnp.where(valid_j, post_seqid[srcc], 0)
+    g_wp = jnp.where(valid_j, post_wpos[srcc], 0)
+    g_we = jnp.where(valid_j, post_wend[srcc], 0)
+    # admissibility mask
+    adm = jnp.take_along_axis(allowed, g_seq, axis=1)
+    valid_j = valid_j & adm
+
+    # --- interval-endpoint sweep ---
+    # key = seqid << 33 | pos << 1 | side  (CLOSE=0 sorts before OPEN=1)
+    k_open = ((g_seq.astype(jnp.int64) << 33)
+              | (g_wp.astype(jnp.int64) << 1) | 1)
+    k_close = ((g_seq.astype(jnp.int64) << 33)
+               | (g_we.astype(jnp.int64) << 1))
+    keys = jnp.concatenate([
+        jnp.where(valid_j, k_open, KEY_PAD),
+        jnp.where(valid_j, k_close, KEY_PAD)], axis=1)    # (B, 2P)
+    keys = jnp.sort(keys, axis=1)
+    ev_valid = keys != KEY_PAD
+    side = jnp.where((keys & 1) == 1, 1, -1)
+    overlap = jnp.cumsum(jnp.where(ev_valid, side, 0), axis=1)
+    ev_pos = ((keys >> 1) & ((1 << 32) - 1)).astype(jnp.int32)
+    ev_seq = (keys >> 33).astype(jnp.int32)
+
+    grp = keys >> 1   # (seqid, pos)
+    nxt = jnp.concatenate([grp[:, 1:], jnp.full((B, 1), KEY_PAD)], axis=1)
+    last_of_pos = ev_valid & (grp != nxt)
+
+    # stage-1 gate + hypergeometric cutoff, PER reference prefix group
+    # (computeL1CandidateRegions runs per group, computeMap.hpp:1146-1165)
+    NG = cfg.n_groups
+    ev_grp = ref_group[jnp.clip(ev_seq, 0, ref_group.shape[0] - 1)]
+
+    def grp_max(grps, mask, ov):
+        return jnp.zeros((NG + 1,), ov.dtype).at[
+            jnp.where(mask, grps, NG)].max(ov)[:NG]
+
+    best_g = jax.vmap(grp_max)(ev_grp, last_of_pos,
+                               overlap.astype(jnp.int32))   # (B, NG)
+    best_g = jnp.minimum(best_g, s_q[:, None])
+    ci = (best_g.astype(jnp.float64)
+          / max(1.0, cfg.table_scale)).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, cutoff_table.shape[0] - 1)
+    min_hits2_g = jnp.maximum(cutoff_table[ci], min_hits[:, None])
+    has_any_g = best_g >= min_hits[:, None]
+
+    # dense per-(seq,pos) group arrays
+    G = keys.shape[1]
+    grank = jnp.cumsum(last_of_pos.astype(jnp.int32), axis=1) - 1
+
+    def scat(vals, fill):
+        def row(v, r, mask):
+            out = jnp.full((G + 1,), fill, v.dtype)
+            return out.at[jnp.where(mask, r, G)].set(v)[:G]
+        return jax.vmap(row)(vals, grank, last_of_pos)
+
+    n_grp = jnp.sum(last_of_pos, axis=1)
+    gi = jnp.arange(G)[None, :]
+    g_valid = gi < n_grp[:, None]
+    gp = scat(ev_pos, jnp.int32(0))
+    gs = scat(ev_seq, jnp.int32(0))
+    go = scat(overlap.astype(jnp.int32), jnp.int32(0))
+
+    gg = ref_group[jnp.clip(gs, 0, ref_group.shape[0] - 1)]  # (B, G)
+    mh2 = jnp.take_along_axis(min_hits2_g, gg, axis=1)
+    ha = jnp.take_along_axis(has_any_g, gg, axis=1)
+    m = g_valid & (go >= mh2) & ha
+    prev_m = jnp.concatenate([jnp.zeros((B, 1), bool), m[:, :-1]], axis=1)
+    prev_s = jnp.concatenate([jnp.full((B, 1), -1, gs.dtype),
+                              gs[:, :-1]], axis=1)
+    run_start = m & (~prev_m | (gs != prev_s))
+    rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
+
+    def run_reduce(ridr, mr, gpr, gsr, gor):
+        tgt = jnp.where(mr, ridr, G)
+        first = jnp.full((G + 1,), np.int32(2**31 - 1)).at[tgt].min(
+            gpr.astype(jnp.int32))[:G]
+        last = jnp.full((G + 1,), np.int32(-1)).at[tgt].max(
+            gpr.astype(jnp.int32))[:G]
+        inter = jnp.zeros((G + 1,), jnp.int32).at[tgt].max(gor)[:G]
+        seq = jnp.zeros((G + 1,), jnp.int32).at[tgt].max(gsr)[:G]
+        return first, last, inter, seq
+
+    r_first, r_last, r_inter, r_seq = jax.vmap(run_reduce)(
+        rid, m, gp, gs, go)
+    n_runs = jnp.max(jnp.where(m, rid, -1), axis=1) + 1
+    r_valid = jnp.arange(G)[None, :] < n_runs[:, None]
+
+    # cluster runs within seg_length (pairwise rule: run ends ascend)
+    pr_last = jnp.concatenate([jnp.full((B, 1), -(10 ** 9), r_last.dtype),
+                               r_last[:, :-1]], axis=1)
+    pr_seq = jnp.concatenate([jnp.full((B, 1), -1, r_seq.dtype),
+                              r_seq[:, :-1]], axis=1)
+    cl_start = r_valid & ((r_seq != pr_seq)
+                          | (r_first > pr_last + cfg.seg_length))
+    cl_start = cl_start.at[:, 0].set(r_valid[:, 0])
+    cid = jnp.cumsum(cl_start.astype(jnp.int32), axis=1) - 1
+
+    C = cfg.c_cap
+
+    def cl_reduce(cidr, vr, fr, lr, ir, sr):
+        tgt = jnp.where(vr & (cidr < C), cidr, C)
+        first = jnp.full((C + 1,), np.int32(2**31 - 1)).at[tgt].min(
+            fr.astype(jnp.int32))[:C]
+        last = jnp.full((C + 1,), np.int32(-1)).at[tgt].max(
+            lr.astype(jnp.int32))[:C]
+        inter = jnp.zeros((C + 1,), jnp.int32).at[tgt].max(ir)[:C]
+        seq = jnp.zeros((C + 1,), jnp.int32).at[tgt].max(sr)[:C]
+        return first, last, inter, seq
+
+    c_first, c_last, c_inter, c_seq = jax.vmap(cl_reduce)(
+        cid, r_valid, r_first, r_last, r_inter, r_seq)
+    n_cand = jnp.max(jnp.where(r_valid, cid, -1), axis=1) + 1
+    overflow_c = n_cand > C
+    n_cand = jnp.minimum(n_cand, C)
+
+    return {
+        "q_hash": q_hash_c, "q_strand": q_strand_c, "s_q": s_q,
+        "complexity": q_cx,
+        "cand_seq": c_seq, "cand_start": c_first, "cand_end": c_last,
+        "cand_inter": c_inter, "n_cand": n_cand,
+        "overflow": overflow_l1 | overflow_c,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("t_cap", "s"))
+def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
+            mi_hash, mi_wpos, mi_wend, mi_strand, mi_seqid,
+            t_cap: int, s: int):
+    """Shared-sketch trajectories for a batch of L1 candidates.
+
+    Args:
+      w_lo/w_mid/w_hi: (W,) int32 interval-table slice bounds per work item
+        (precomputed searchsorted on the host or via device searchsorted).
+      w_seq: (W,) candidate reference sequence ids.
+      q_hash/q_strand: (W, s) the owning fragment's compacted sketch.
+      mi_*: the global interval table (device-resident).
+
+    Returns (shared, votes, wpos_main, next_wpos, t_valid): (W, t_cap)
+    arrays; the plateau walk over them happens on the host.
+    """
+    W = w_lo.shape[0]
+    T = t_cap
+    M_len = mi_hash.shape[0]
+
+    i_idx = jnp.arange(T)[None, :]
+    gidx = jnp.minimum(w_lo[:, None] + i_idx, max(M_len - 1, 0))
+    e_valid = (w_lo[:, None] + i_idx) < w_hi[:, None]
+    hash_a = jnp.where(e_valid, mi_hash[gidx], UMAX)
+    wend_a = jnp.where(e_valid, mi_wend[gidx], 0)
+    strand_a = jnp.where(e_valid, mi_strand[gidx].astype(jnp.int32), 0)
+    wpos_a = jnp.where(e_valid, mi_wpos[gidx], 0)
+
+    n_setup = (w_mid - w_lo)[:, None]
+    t_is_main = (i_idx >= n_setup) & e_valid
+    wpos_t = wpos_a  # at main steps, wpos of the inserted entry
+
+    # bucket of each interval hash within the fragment sketch
+    b = jax.vmap(jnp.searchsorted)(q_hash, hash_a)        # (W, T)
+    inb = b < s
+    bq = jnp.minimum(b, s - 1)
+    match = inb & (jnp.take_along_axis(q_hash, bq, axis=1) == hash_a) \
+        & e_valid
+
+    # active[t, i] = (i <= t) & (wend_i > wpos_t)
+    ii = jnp.arange(T)
+    M = (ii[None, None, :] <= ii[None, :, None]) & \
+        (wend_a[:, None, :] > wpos_t[:, :, None]) & \
+        e_valid[:, None, :]
+    Mf = M.astype(jnp.bfloat16)
+
+    onehot = jax.nn.one_hot(jnp.where(match, bq, s), s + 1,
+                            dtype=jnp.bfloat16)           # (W, T, s+1)
+    non = inb & ~match & e_valid
+    onehot_n = jax.nn.one_hot(jnp.where(non, bq, s), s + 1,
+                              dtype=jnp.bfloat16)
+    onehot_v = onehot * strand_a[:, :, None].astype(jnp.bfloat16)
+
+    A = jnp.einsum("wti,wis->wts", Mf, onehot,
+                   preferred_element_type=jnp.float32)
+    Cn = jnp.einsum("wti,wis->wts", Mf, onehot_n,
+                    preferred_element_type=jnp.float32)
+    V = jnp.einsum("wti,wis->wts", Mf, onehot_v,
+                   preferred_element_type=jnp.float32)
+
+    A = A[..., :s].astype(jnp.int32)
+    Cn = Cn[..., :s].astype(jnp.int32)
+    V = V[..., :s].astype(jnp.int32)
+
+    # pivot bound is the fragment's post-filter sketch size s_q
+    # (SlideMapper pivRank <= Q.sketchSize, slidingMap.hpp:158,204)
+    rank = jnp.arange(1, s + 1)[None, None, :] + jnp.cumsum(Cn, axis=-1)
+    Pmask = rank <= s_q[:, None, None]
+    shared = jnp.sum(A * Pmask, axis=-1)
+    votes = jnp.sum(V * Pmask * q_strand[:, None, :s].astype(jnp.int32),
+                    axis=-1)
+
+    nxt_ok = ((w_lo[:, None] + i_idx + 1) < M_len)
+    gnext = jnp.minimum(w_lo[:, None] + i_idx + 1, max(M_len - 1, 0))
+    same_seq = nxt_ok & (mi_seqid[gnext] == w_seq[:, None])
+    next_wpos = jnp.where(same_seq, mi_wpos[gnext], wpos_a)
+
+    return shared, votes, wpos_a, next_wpos, t_is_main

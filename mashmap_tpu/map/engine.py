@@ -243,8 +243,13 @@ class Mapper:
         return rows
 
     def _do_l2(self, q: _Query, frag: _Fragment, hashes, strands, s_q,
-               complexity, cands) -> List[MappingResult]:
-        """doL2Mapping equivalent (computeMap.hpp:1181-1267)."""
+               complexity, cands,
+               loci_fn=None) -> List[MappingResult]:
+        """doL2Mapping equivalent (computeMap.hpp:1181-1267).
+
+        loci_fn(candidate) -> List[L2Locus] override lets the device
+        pipeline supply precomputed trajectories.
+        """
         p = self.p
         k = p.kmer_size
         if not cands:
@@ -265,10 +270,13 @@ class Mapper:
                 cutoff_j = float(f32(stats.md2j(1.0 - cutoff_ani, k)))
                 if float(c.intersection) / s_q < cutoff_j:
                     break
-            loci = l2_mod.l2_mapped_regions(
-                self.idx, self.mi_key, hashes, strands,
-                c.seq_id, c.range_start, c.range_end,
-                p.seg_length, frag.window_len)
+            if loci_fn is not None:
+                loci = loci_fn(c)
+            else:
+                loci = l2_mod.l2_mapped_regions(
+                    self.idx, self.mi_key, hashes, strands,
+                    c.seq_id, c.range_start, c.range_end,
+                    p.seg_length, frag.window_len)
             for loc in loci:
                 mash_dist = stats.j2md(
                     float(f32(1.0) * f32(loc.shared_sketch_size)
@@ -303,50 +311,74 @@ class Mapper:
         return rows
 
     # ------------------------------------------------------------------
-    def map_queries(self, queries: List[_Query]) -> List[
-            Tuple[_Query, List[MappingResult]]]:
-        """Map a batch of query sequences (batched device sketching)."""
+    def _allowed_mask(self, q: _Query) -> Optional[np.ndarray]:
+        """Per-query admissible reference sequences
+        (getSeedIntervalPoints, computeMap.hpp:887-894)."""
+        p = self.p
+        if not (p.skip_self or p.skip_prefix or p.lower_triangular):
+            return None
+        allowed = np.ones(self.idx.n_contigs, bool)
+        if p.skip_self:
+            allowed &= self._name_arr != q.name
+        if p.lower_triangular:
+            allowed &= q.counter > np.arange(self.idx.n_contigs)
+        if p.skip_prefix:
+            qg = self._get_ref_group(q.name)
+            allowed &= self.ref_groups != qg
+        return allowed
+
+    def _fragments_of(self, queries: List[_Query]) -> List[_Fragment]:
         p = self.p
         frags: List[_Fragment] = []
-        frag_seqs: List[np.ndarray] = []
-        sanitized: List[np.ndarray] = []
         for qi, q in enumerate(queries):
-            s_u8 = kmers.sanitize(q.seq.encode("ascii"))
-            sanitized.append(s_u8)
             for (qs, qlen) in self._fragment_query(len(q.seq)):
                 frags.append(_Fragment(
                     qi, qs, qlen, max(0, qlen - p.seg_length)))
-                frag_seqs.append(s_u8[qs:qs + qlen])
+        return frags
 
+    def map_queries(self, queries: List[_Query]) -> List[
+            Tuple[_Query, List[MappingResult]]]:
+        """Map a batch of query sequences."""
+        p = self.p
+        frags = self._fragments_of(queries)
+        all_wl0 = all(fr.window_len == 0 for fr in frags)
+        if p.use_device_pipeline and all_wl0 and len(frags):
+            rows_by_frag = self._run_fragments_device(queries, frags)
+        else:
+            rows_by_frag = self._run_fragments_host(queries, frags)
+        return self._assemble(queries, frags, rows_by_frag)
+
+    def _run_fragments_host(self, queries, frags):
+        p = self.p
+        sanitized = [kmers.sanitize(q.seq.encode("ascii"))
+                     for q in queries]
+        frag_seqs = [
+            sanitized[fr.query_idx][fr.q_start:fr.q_start + fr.q_len]
+            for fr in frags]
         h, st, cnt, cx = self._sketch_batch(frag_seqs)
+        allowed = [self._allowed_mask(q) for q in queries]
+        qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
+              for q in queries]
+        out = []
+        for fi, fr in enumerate(frags):
+            q = queries[fr.query_idx]
+            out.append(self._map_fragment(
+                q, fr, h[fi], st[fi], cnt[fi], cx[fi],
+                allowed[fr.query_idx], qg[fr.query_idx]))
+        return out
 
+    def _assemble(self, queries, frags, rows_by_frag):
+        """Per-query post-processing (mapModule, computeMap.hpp:674-712)."""
+        p = self.p
         results: List[Tuple[_Query, List[MappingResult]]] = []
         fi = 0
         for qi, q in enumerate(queries):
-            # per-query reference-sequence admissibility
-            # (getSeedIntervalPoints, computeMap.hpp:887-894)
-            allowed = None
-            if p.skip_self or p.skip_prefix or p.lower_triangular:
-                allowed = np.ones(self.idx.n_contigs, bool)
-                if p.skip_self:
-                    allowed &= self._name_arr != q.name
-                if p.lower_triangular:
-                    allowed &= q.counter > np.arange(self.idx.n_contigs)
-                # skip_prefix is handled via group comparison:
-                if p.skip_prefix:
-                    qg = self._get_ref_group(q.name)
-                    allowed &= self.ref_groups != qg
-            q_ref_group = self._get_ref_group(q.name) \
-                if p.skip_prefix else -1
-
             qlen = len(q.seq)
             unfiltered: List[MappingResult] = []
             split_mapping = p.split and qlen > p.seg_length
             while fi < len(frags) and frags[fi].query_idx == qi:
                 fr = frags[fi]
-                rows = self._map_fragment(
-                    q, fr, h[fi], st[fi], cnt[fi], cx[fi], allowed,
-                    q_ref_group)
+                rows = rows_by_frag[fi]
                 if split_mapping:
                     for m in rows:
                         m.query_len = qlen
@@ -380,6 +412,208 @@ class Mapper:
 
             results.append((q, unfiltered))
         return results
+
+    # --- device fragment pipeline ------------------------------------
+    def _device_tables(self):
+        if getattr(self, "_dev", None) is not None:
+            return self._dev
+        import jax.numpy as jnp
+        p = self.p
+        mh_table = np.ones(p.sketch_size + 1, np.int32)
+        for sq in range(1, p.sketch_size + 1):
+            mh_table[sq] = max(1, self._minimum_hits(sq))
+        ct = (self.cutoff_table.astype(np.int32)
+              if self.cutoff_table is not None else np.ones(2, np.int32))
+        idx = self.idx
+        self._dev = {
+            "uniq_hashes": jnp.asarray(idx.uniq_hashes),
+            "post_offsets": jnp.asarray(idx.post_offsets.astype(np.int32)),
+            "post_seqid": jnp.asarray(idx.post_seqid),
+            "post_wpos": jnp.asarray(idx.post_wpos),
+            "post_wend": jnp.asarray(idx.post_wend),
+            "is_frequent": jnp.asarray(idx.is_frequent),
+            "mi_hash": jnp.asarray(idx.mi_hash),
+            "mi_wpos": jnp.asarray(idx.mi_wpos),
+            "mi_wend": jnp.asarray(idx.mi_wend),
+            "mi_strand": jnp.asarray(idx.mi_strand),
+            "mi_seqid": jnp.asarray(idx.mi_seqid),
+            "min_hits_table": jnp.asarray(mh_table),
+            "cutoff_table": jnp.asarray(ct),
+            "ref_group": jnp.asarray(
+                self.ref_groups.astype(np.int32)),
+        }
+        return self._dev
+
+    def _run_fragments_device(self, queries, frags):
+        """Batched device pipeline: l1_step + l2_step kernels.
+
+        Fragments whose postings/candidates/L2 slices exceed the static
+        caps fall back to the bit-identical host path.
+        """
+        import jax.numpy as jnp
+        from ..kernels.mapdev import L1Config, l1_step, l2_step
+        from ..kernels.sketch import sketch_sequence_py
+
+        p = self.p
+        dev = self._device_tables()
+        cfg = L1Config(
+            k=p.kmer_size, s=p.sketch_size, seg_length=p.seg_length,
+            p_cap=p.l1_postings_cap, c_cap=p.l1_candidates_cap,
+            t_cap=p.l2_entries_cap, table_scale=self.table_scale,
+            n_groups=int(self.ref_groups.max()) + 1)
+        B = len(frags)
+        L = p.seg_length
+        sanitized = [kmers.sanitize(q.seq.encode("ascii"))
+                     for q in queries]
+        mat = np.full((B, L), ord("N"), np.uint8)
+        for i, fr in enumerate(frags):
+            s_u8 = sanitized[fr.query_idx]
+            mat[i, :fr.q_len] = s_u8[fr.q_start:fr.q_start + fr.q_len]
+        q_allowed = [self._allowed_mask(q) for q in queries]
+        allowed = np.stack([
+            np.ones(self.idx.n_contigs, bool)
+            if q_allowed[fr.query_idx] is None else q_allowed[fr.query_idx]
+            for fr in frags])
+        qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
+              for q in queries]
+
+        # pad batch to powers of two to bound recompiles
+        Bp = max(8, 1 << (B - 1).bit_length())
+        matp = mat
+        allowedp = allowed
+        if Bp > B:
+            matp = np.concatenate(
+                [mat, np.full((Bp - B, L), ord("N"), np.uint8)])
+            allowedp = np.concatenate(
+                [allowed, np.zeros((Bp - B, allowed.shape[1]), bool)])
+
+        out = l1_step(
+            jnp.asarray(matp), dev["uniq_hashes"], dev["post_offsets"],
+            dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
+            dev["is_frequent"], dev["min_hits_table"], dev["cutoff_table"],
+            jnp.asarray(allowedp), dev["ref_group"], cfg)
+        o = {k: np.asarray(v)[:B] for k, v in out.items()}
+
+        # complexity rescale for 'N'-padded fragments
+        cx = np.array([
+            float(o["complexity"][i]) * (L - p.kmer_size + 1)
+            / max(1, frags[i].q_len - p.kmer_size + 1)
+            for i in range(B)])
+
+        # L2 work items from device candidates
+        work = []
+        host_frags = set()
+        for i, fr in enumerate(frags):
+            if o["overflow"][i]:
+                host_frags.add(i)
+                continue
+            if int(o["s_q"][i]) == 0 \
+                    or cx[i] < p.kmer_complexity_threshold:
+                continue
+            for j in range(int(o["n_cand"][i])):
+                seq = int(o["cand_seq"][i, j])
+                rs = int(o["cand_start"][i, j])
+                re = int(o["cand_end"][i, j])
+                lo = int(np.searchsorted(
+                    self.mi_key, (np.int64(seq) << 32)
+                    | np.int64(max(0, rs - p.seg_length - 1))))
+                mid = int(np.searchsorted(
+                    self.mi_key,
+                    (np.int64(seq) << 32) | np.int64(max(0, rs))))
+                hi = int(np.searchsorted(
+                    self.mi_key, (np.int64(seq) << 32) | np.int64(re + 1)))
+                work.append((i, j, lo, mid, hi))
+
+        todo = [w for w in work if w[4] - w[2] <= cfg.t_cap]
+        host_l2_set = {(w[0], w[1]) for w in work
+                       if w[4] - w[2] > cfg.t_cap}
+        loci_by = {}
+        W_STEP = p.l2_batch
+        for w0 in range(0, len(todo), W_STEP):
+            chunk = todo[w0:w0 + W_STEP]
+            Wp = W_STEP
+            w_lo = np.zeros(Wp, np.int32)
+            w_mid = np.zeros(Wp, np.int32)
+            w_hi = np.zeros(Wp, np.int32)
+            w_seq = np.zeros(Wp, np.int32)
+            qh = np.full((Wp, p.sketch_size),
+                         np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+            qs = np.zeros((Wp, p.sketch_size), np.int8)
+            sqv = np.ones(Wp, np.int32)
+            for r, (i, j, lo, mid, hi) in enumerate(chunk):
+                w_lo[r], w_mid[r], w_hi[r] = lo, mid, hi
+                w_seq[r] = int(o["cand_seq"][i, j])
+                qh[r] = o["q_hash"][i]
+                qs[r] = o["q_strand"][i]
+                sqv[r] = o["s_q"][i]
+            shared, votes, wpos_a, next_wpos, t_main = l2_step(
+                jnp.asarray(w_lo), jnp.asarray(w_mid), jnp.asarray(w_hi),
+                jnp.asarray(w_seq), jnp.asarray(qh), jnp.asarray(qs),
+                jnp.asarray(sqv),
+                dev["mi_hash"], dev["mi_wpos"], dev["mi_wend"],
+                dev["mi_strand"], dev["mi_seqid"],
+                cfg.t_cap, p.sketch_size)
+            shared = np.asarray(shared)
+            votes = np.asarray(votes)
+            wpos_a = np.asarray(wpos_a)
+            next_wpos = np.asarray(next_wpos)
+            t_main = np.asarray(t_main)
+            for r, (i, j, lo, mid, hi) in enumerate(chunk):
+                tm = t_main[r]
+                loci_by[(i, j)] = l2_mod.plateau_loci(
+                    shared[r][tm], votes[r][tm],
+                    wpos_a[r][tm].astype(np.int64),
+                    next_wpos[r][tm].astype(np.int64),
+                    int(o["cand_seq"][i, j]), p.seg_length, 0)
+
+        # per-fragment row assembly with exact pruning semantics
+        rows_by_frag = []
+        for i, fr in enumerate(frags):
+            q = queries[fr.query_idx]
+            if i in host_frags:
+                oh, ostr, ocnt, ocx = sketch_sequence_py(
+                    mat[i, :fr.q_len], p.kmer_size, p.sketch_size)
+                rows_by_frag.append(self._map_fragment(
+                    q, fr, oh, ostr, ocnt, ocx,
+                    q_allowed[fr.query_idx], qg[fr.query_idx]))
+                continue
+            s_q = int(o["s_q"][i])
+            if s_q == 0 or cx[i] < p.kmer_complexity_threshold:
+                rows_by_frag.append([])
+                continue
+            hashes = o["q_hash"][i][:s_q]
+            strands = o["q_strand"][i][:s_q].astype(np.int64)
+            cands = [
+                l1_mod.L1Candidate(
+                    int(o["cand_seq"][i, j]), int(o["cand_start"][i, j]),
+                    int(o["cand_end"][i, j]), int(o["cand_inter"][i, j]))
+                for j in range(int(o["n_cand"][i]))]
+            cand_j = {id(c): j for j, c in enumerate(cands)}
+
+            def loci_fn(c, _i=i, _cand_j=cand_j, _h=hashes, _s=strands):
+                j = _cand_j[id(c)]
+                if (_i, j) in host_l2_set:
+                    return l2_mod.l2_mapped_regions(
+                        self.idx, self.mi_key, _h, _s, c.seq_id,
+                        c.range_start, c.range_end, p.seg_length, 0)
+                return loci_by.get((_i, j), [])
+
+            if p.skip_prefix:
+                rows = []
+                groups: dict[int, list] = {}
+                for c in cands:
+                    groups.setdefault(
+                        int(self.ref_groups[c.seq_id]), []).append(c)
+                for gv in sorted(groups):
+                    rows.extend(self._do_l2(
+                        q, fr, hashes, strands, s_q, cx[i],
+                        groups[gv], loci_fn))
+            else:
+                rows = self._do_l2(q, fr, hashes, strands, s_q, cx[i],
+                                   cands, loci_fn)
+            rows.sort(key=lambda m: (m.ref_seq_id, m.ref_start))
+            rows_by_frag.append(rows)
+        return rows_by_frag
 
     def _filter_by_group(self, rows: List[MappingResult], n_mappings: int,
                          filter_ref: bool) -> List[MappingResult]:

@@ -183,11 +183,6 @@ def l2_mapped_regions(
     if len(shared) == 0:
         return []
 
-    final_best = max(1, int(shared.max()))
-    eq = shared == final_best
-    if not eq.any():
-        return []
-
     # next-entry wpos (global table; reference reads the neighbor entry,
     # computeMap.hpp:1386-1390)
     g = np.arange(mid, hi)
@@ -197,7 +192,25 @@ def l2_mapped_regions(
         has_next, index.mi_wpos[np.minimum(g + 1, len(index.mi_wpos) - 1)],
         index.mi_wpos[g]).astype(np.int64)
 
-    # maximal runs of eq
+    return plateau_loci(shared, votes, wpos_main, next_wpos, seq_id,
+                        seg_length, window_len)
+
+
+def plateau_loci(shared, votes, wpos_main, next_wpos, seq_id: int,
+                 seg_length: int, window_len: int) -> List[L2Locus]:
+    """Optimal-plateau bookkeeping (computeMap.hpp:1373-1450).
+
+    The reference's best / in_candidate walk reduces to: candidates are
+    the maximal runs of shared == max(1, max(shared)); a run closed by a
+    drop extends its optimalEnd to the *closing* step's neighbor wpos;
+    runs closer than segLength merge.
+    """
+    T_m = len(shared)
+    final_best = max(1, int(shared.max()))
+    eq = shared == final_best
+    if not eq.any():
+        return []
+
     starts = np.nonzero(eq & ~np.concatenate(([False], eq[:-1])))[0]
     ends = np.nonzero(eq & ~np.concatenate((eq[1:], [False])))[0]
 

@@ -1,0 +1,61 @@
+"""Device pipeline (l1_step/l2_step) must reproduce the host path exactly."""
+
+import numpy as np
+import pytest
+
+from mashmap_tpu.params import Parameters
+from mashmap_tpu.api import map_files
+from tests.genomes import pangenome, write_fasta, mutate, random_genome
+
+
+def run_both(tmp_path, records, queries, **kw):
+    outs = {}
+    for dev in (False, True):
+        ref = tmp_path / f"ref{dev}.fa"
+        write_fasta(str(ref), records)
+        params = Parameters(ref_sequences=[str(ref)],
+                            use_device_pipeline=dev, **kw)
+        if queries is not None:
+            qf = tmp_path / f"q{dev}.fa"
+            write_fasta(str(qf), queries)
+            params.query_sequences = [str(qf)]
+        params.out_file_name = str(tmp_path / f"out{dev}.paf")
+        map_files(params)
+        with open(params.out_file_name) as fh:
+            outs[dev] = [line.rstrip("\n") for line in fh]
+    return outs[False], outs[True]
+
+
+def test_device_matches_host_query_mapping(tmp_path):
+    base = random_genome(20_000, seed=80)
+    q = mutate(base, 0.05, seed=81)
+    host, dev = run_both(
+        tmp_path, [("chr1", base)], [("q1", q), ("short", base[700:1100])],
+        kmer_size=11, seg_length=500, sketch_size=30,
+        percentage_identity=0.80, merge_mappings=False)
+    assert len(host) > 10
+    assert host == dev
+
+
+def test_device_matches_host_selfmap(tmp_path):
+    recs = pangenome(3, 10_000, divergence=0.05, seed=90)
+    host, dev = run_both(
+        tmp_path, recs, None,
+        kmer_size=11, seg_length=500, sketch_size=30,
+        percentage_identity=0.80,
+        skip_prefix=True, prefix_delim="#")
+    assert len(host) > 0
+    assert host == dev
+
+
+def test_device_overflow_fallback(tmp_path):
+    """Tiny caps force the host fallback; output must be unchanged."""
+    base = random_genome(15_000, seed=95)
+    q = mutate(base, 0.05, seed=96)
+    host, dev = run_both(
+        tmp_path, [("chr1", base)], [("q1", q)],
+        kmer_size=11, seg_length=500, sketch_size=30,
+        percentage_identity=0.80,
+        l1_postings_cap=32, l2_entries_cap=16, l2_batch=8)
+    assert len(host) > 0
+    assert host == dev

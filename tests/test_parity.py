@@ -119,6 +119,99 @@ def test_parity_selfmap_pangenome(tmp_path, oracle_bin):
     compare(ref_lines, our_lines)
 
 
+def test_parity_unmerged_multimapping(tmp_path, oracle_bin):
+    """-M (no merge) exposes every per-fragment row; -n 2 secondaries."""
+    base = random_genome(60_000, seed=21)
+    q = mutate(base, 0.05, seed=22)
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", base), ("chr2", mutate(base, 0.08, seed=55))])
+    write_fasta(qf, [("q1", q)])
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80", "-M",
+         "-n", "2"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80, merge_mappings=False,
+        num_mappings_for_segment=2)
+    assert len(ref_lines) >= 50
+    # full-line comparison (every column incl. jc:f:)
+    a, b = set(ref_lines), set(our_lines)
+    assert len(a & b) / max(len(a), len(b)) >= 0.98, (
+        sorted(a - b)[:5], sorted(b - a)[:5])
+
+
+def test_parity_tandem_repeats(tmp_path, oracle_bin):
+    """Multi-mapping over tandem repeats (plateaus + secondary filter)."""
+    from tests.genomes import random_genome as rg
+    unit = rg(6000, seed=70)
+    rep = rg(8000, seed=71) + unit * 4 + rg(8000, seed=72)
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", rep)])
+    write_fasta(qf, [("q1", mutate(rep, 0.04, seed=73))])
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80", "-M",
+         "-n", "3"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80, merge_mappings=False,
+        num_mappings_for_segment=3)
+    a, b = set(ref_lines), set(our_lines)
+    assert len(a & b) / max(len(a), len(b)) >= 0.95, (
+        sorted(a - b)[:5], sorted(b - a)[:5])
+
+
+def test_parity_nosplit_windowed(tmp_path, oracle_bin):
+    """--noSplit long query (windowLen > 0 L1/L2 path).
+
+    The reference's windowed path has internal bookkeeping bugs we don't
+    replicate (see map/l2.py docstring), so placement may differ by a few
+    bp; identity and counts must match.
+    """
+    base = random_genome(60_000, seed=21)
+    q = mutate(base, 0.05, seed=22)[:3500]
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", base)])
+    write_fasta(qf, [("q1", q)])
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80", "--noSplit"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80, split=False)
+    assert len(ref_lines) == len(our_lines)
+    for rl, ol in zip(sorted(ref_lines), sorted(our_lines)):
+        rf, of = rl.split("\t"), ol.split("\t")
+        assert rf[0] == of[0] and rf[4] == of[4] and rf[5] == of[5]
+        assert rf[9] == of[9], "conserved sketches differ"
+        assert rf[12] == of[12], "ANI differs"
+        assert abs(int(rf[7]) - int(of[7])) <= 50, (rl, ol)
+
+
+def test_parity_legacy_output(tmp_path, oracle_bin):
+    base = random_genome(60_000, seed=21)
+    q = mutate(base, 0.05, seed=22)[:8000]
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", base)])
+    write_fasta(qf, [("q1", q)])
+    ref_lines = run_reference(
+        oracle_bin, ref, qf, str(tmp_path / "ref.paf"),
+        ["-k", "15", "-s", "1000", "-J", "60", "--pi", "80", "--legacy"])
+    our_lines = run_ours(
+        tmp_path, ref, qf,
+        kmer_size=15, seg_length=1000, sketch_size=60,
+        percentage_identity=0.80, legacy_output=True)
+    assert ref_lines == our_lines
+
+
 def test_parity_revcomp_and_short(tmp_path, oracle_bin):
     base = random_genome(25_000, seed=41)
     comp = str.maketrans("ACGT", "TGCA")
