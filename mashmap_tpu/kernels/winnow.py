@@ -56,14 +56,37 @@ def _insert_bottom_s(state: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
-    """s-th smallest distinct of two sorted SENTINEL-padded (C, s) sets."""
-    m = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1)  # (C, 2s)
-    prev = jnp.concatenate(
-        [jnp.full_like(m[:, :1], SENTINEL), m[:, :-1]], axis=-1)
-    uniq = (m != prev) & (m != SENTINEL)
-    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=-1)
-    hit = uniq & (rank == s)
-    return jnp.min(jnp.where(hit, m, SENTINEL), axis=-1)  # (C,)
+    """s-th smallest distinct of two sorted SENTINEL-padded (C, s) sets.
+
+    Scatter/sort-free rank counting (scatters and sorts serialize on the
+    VPU; this is pure elementwise + small reductions): for a candidate
+    value x, its distinct-union rank is
+        f(x) = #A<=x + #B<=x - #dup<=x,
+    and theta is the smallest candidate with f(x) == s. The #<=
+    counts come from an (C, s, s) comparison cube — s is small, so this
+    is cheap dense VPU work.
+    """
+    valid_a = a != SENTINEL
+    valid_b = b != SENTINEL
+    # cmp[c, i, j] over candidate i of one set vs elements j of the other
+    le_ba = (b[:, None, :] <= a[:, :, None]) & valid_b[:, None, :]
+    eq_ba = (b[:, None, :] == a[:, :, None]) & valid_b[:, None, :]
+    rB_a = jnp.sum(le_ba, axis=-1)                    # #B <= a_i
+    dup_a = jnp.any(eq_ba, axis=-1)                   # a_i in B
+    csum_dup_a = jnp.cumsum(dup_a.astype(jnp.int32), axis=-1)
+    i = jnp.arange(1, s + 1)[None, :]
+    f_a = i + rB_a - csum_dup_a                       # distinct rank of a_i
+
+    le_ab = (a[:, None, :] <= b[:, :, None]) & valid_a[:, None, :]
+    eq_ab = (a[:, None, :] == b[:, :, None]) & valid_a[:, None, :]
+    rA_b = jnp.sum(le_ab, axis=-1)
+    dup_b = jnp.any(eq_ab, axis=-1)
+    csum_dup_b = jnp.cumsum(dup_b.astype(jnp.int32), axis=-1)
+    f_b = i + rA_b - csum_dup_b
+
+    th_a = jnp.min(jnp.where((f_a == s) & valid_a, a, SENTINEL), axis=-1)
+    th_b = jnp.min(jnp.where((f_b == s) & valid_b, b, SENTINEL), axis=-1)
+    return jnp.minimum(th_a, th_b)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "s_b"))
@@ -100,12 +123,23 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
     return theta.T  # (C, S_B)
 
 
+def _default_chunk_bytes() -> int:
+    """Pick the suffix-sketch materialization budget by platform."""
+    import jax
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return 256 << 20
+    except Exception:
+        pass
+    return 2 << 30  # TPU HBM: bigger chunks => fewer scan iterations
+
+
 def window_thresholds(
     hashes: np.ndarray,
     valid: np.ndarray,
     s: int,
     window_span: int,
-    block_chunk_bytes: int = 256 << 20,
+    block_chunk_bytes: int | None = None,
 ) -> np.ndarray:
     """theta(W) for every window of one contig.
 
@@ -119,6 +153,8 @@ def window_thresholds(
       (n_w,) uint64 with n_w = n_k - S_B + 1; SENTINEL where a window holds
       fewer than s distinct valid hashes.
     """
+    if block_chunk_bytes is None:
+        block_chunk_bytes = _default_chunk_bytes()
     n_k = int(hashes.shape[0])
     s_b = int(window_span)
     n_w = n_k - s_b + 1

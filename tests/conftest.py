@@ -17,3 +17,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault(
     "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# In this environment an experimental TPU platform plugin overrides the
+# JAX_PLATFORMS env var; force CPU through the config API instead (must
+# happen before any backend is initialized).
+import jax  # noqa: E402
+
+if os.environ.get("MASHMAP_TPU_TEST_ON_TPU", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
