@@ -145,10 +145,14 @@ def test_short_and_tiny_queries(tmp_path, small_params):
         f = line.split("\t")
         if f[0] == "short":
             # a query shorter than the index window length has inherent
-            # placement smear of up to (segLength - qlen); the exact value
-            # is checked by the golden-parity test against the reference
+            # placement smear of up to (segLength - qlen), and its sketch
+            # intersects only the winnowed index minmers so the ANI dips
+            # below 1.0 even for an exact substring.  The reference binary
+            # (-k 11 -s 500 -J 30 --pi 80 on this exact input) reports
+            # 800-1100 id:f:0.984928 — we match it bit-for-bit.
             assert int(f[7]) == pytest.approx(1000, abs=250)
-            assert float(f[12].split(":")[-1]) > 0.99
+            assert float(f[12].split(":")[-1]) == pytest.approx(
+                0.984928, abs=1e-4)
 
 
 def test_paf_format_fields(tmp_path, small_params):
