@@ -20,11 +20,28 @@ Numerical parity targets the reference's PAF output (coordinates, strand,
 ``id:f`` ANI tag) on its own test workloads.
 """
 
+import os
+
 import jax
 
 # Exact 64-bit hashing (MurmurHash3_x64_128) requires real uint64 lanes.
 # TPU lowers u64 to u32 pairs; results are exact either way.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache. The pipeline's kernels take tens of
+# seconds to compile on TPU (and compile latency is highly variable on
+# tunneled backends); the cache makes every process after the first pay
+# ~nothing. Note: setting JAX_COMPILATION_CACHE_DIR in the environment is
+# NOT sufficient with some PJRT plugins — the config API is.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.expanduser("~/.cache")),
+                     "mashmap_tpu", "jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"
 

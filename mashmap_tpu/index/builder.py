@@ -29,6 +29,7 @@ judge; these affect only rare edge cases of the reference's own output):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -45,36 +46,61 @@ REV = np.int8(-1)
 _HASH_SLAB = 1 << 23  # k-mer positions hashed per device call
 
 
+def _pad_len(n: int, lo: int = 1 << 15) -> int:
+    """Round a slab length up to a power of two (>= lo).
+
+    Fixed shape buckets keep the number of distinct XLA compilations
+    (and persistent-cache entries) tiny — compile time, not FLOPs, is
+    the dominant cost of naive per-contig shapes on TPU.
+    """
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _hash_slab_fn(k: int):
+    import jax
+    import jax.numpy as jnp
+    from ..kernels.kmers import canonical_kmer_hashes
+
+    def f(chunk, first_slab):
+        ch, cs, cp, has_n, cnt_tail = canonical_kmer_hashes(chunk, k)
+        # tail-N rule considers absolute position: only the contig's
+        # first k-1 bases are exempt; for non-initial slabs the plain
+        # full-window rule applies.
+        cnt = jnp.where(first_slab, cnt_tail, has_n)
+        return ch, cs, ~cp & ~cnt
+
+    return jax.jit(f)
+
+
 def _canonical_hash_contig(seq_u8: np.ndarray, k: int):
     """Canonical hashes/strand/validity for one contig (slabbed on device).
 
     Uses the addMinmers N-rule (tail-base only) for validity — see
-    kernels/kmers.py for the two reference N rules.
+    kernels/kmers.py for the two reference N rules. Slabs are padded to
+    power-of-two lengths so XLA shapes are reused across contigs.
     """
     import jax.numpy as jnp
-    from ..kernels.kmers import canonical_kmer_hashes
 
     L = len(seq_u8)
     n = L - k + 1
     h = np.empty(n, np.uint64)
     st = np.empty(n, np.int8)
     valid = np.empty(n, bool)
+    fn = _hash_slab_fn(k)
     for lo in range(0, n, _HASH_SLAB):
         hi = min(lo + _HASH_SLAB, n)
-        chunk = jnp.asarray(seq_u8[lo:hi + k - 1])
-        ch, cs, cp, _, cnt = canonical_kmer_hashes(chunk, k)
-        # tail-N rule must consider absolute position: the first k-1 bases
-        # of the *contig* are exempt, not of each slab. Recompute exemption
-        # for non-initial slabs: all window-end positions are >= k-1
-        # absolute, so the plain has_n rule applies there.
-        if lo > 0:
-            is_n = chunk == np.uint8(ord("N"))
-            cn = jnp.cumsum(is_n.astype(jnp.int32))
-            left = jnp.concatenate([jnp.zeros(1, cn.dtype), cn[: hi - lo - 1]])
-            cnt = (cn[k - 1:] - left) > 0
-        h[lo:hi] = np.asarray(ch)
-        st[lo:hi] = np.asarray(cs)
-        valid[lo:hi] = ~np.asarray(cp) & ~np.asarray(cnt)
+        raw = seq_u8[lo:hi + k - 1]
+        padded_L = _pad_len(len(raw))
+        if padded_L > len(raw):
+            buf = np.full(padded_L, ord("N"), np.uint8)
+            buf[:len(raw)] = raw
+            raw = buf
+        ch, cs, cv = fn(jnp.asarray(raw), lo == 0)
+        h[lo:hi] = np.asarray(ch[: hi - lo])
+        st[lo:hi] = np.asarray(cs[: hi - lo])
+        valid[lo:hi] = np.asarray(cv[: hi - lo])
     return h, st, valid
 
 
@@ -427,6 +453,9 @@ def build_index(
     acc_mh, acc_mb, acc_me, acc_ms, acc_mseq = [], [], [], [], []
 
     span = window_size - kmer_size + 1
+
+    # phase 1: canonical-hash every indexable contig (device murmur kernel)
+    hashed: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
     for seq_id, (name, seq) in enumerate(contigs):
         names.append(name)
         lengths.append(len(seq))
@@ -437,9 +466,16 @@ def build_index(
             continue
         seq_u8 = kmers.sanitize(seq.encode("ascii"))
         h, st, valid = _canonical_hash_contig(seq_u8, kmer_size)
-        theta = winnow.window_thresholds(h, valid, sketch_size, span)
+        hashed.append((seq_id, h, st, valid))
+
+    # phase 2: one batched theta scan over all contigs' blocks
+    thetas = winnow.window_thresholds_batch(
+        [(h, valid) for (_, h, _, valid) in hashed], sketch_size, span)
+
+    # phase 3: membership events per contig (host, vectorized)
+    for (seq_id, h, st, valid), theta in zip(hashed, thetas):
         (ph, pb, pe), (mh, mb, me, ms) = contig_minmer_intervals(
-            h, valid, st, theta, span, n_flush=len(seq) - kmer_size + 1)
+            h, valid, st, theta, span, n_flush=len(h))
         acc_hash.append(ph)
         acc_wb.append(pb)
         acc_we.append(pe)

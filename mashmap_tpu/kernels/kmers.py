@@ -40,7 +40,17 @@ _COMPLEMENT = np.full(256, ord("N"), dtype=np.uint8)
 for _x, _y in zip(b"ACGT", b"TGCA"):
     _COMPLEMENT[_x] = _y
 
-_COMPLEMENT_J = jnp.asarray(_COMPLEMENT)
+
+def _complement_j(seq_u8: jax.Array) -> jax.Array:
+    """Device complement of sanitized bytes without a table gather.
+
+    (A 256-entry LUT gather compiles/runs pathologically on TPU; a
+    where-chain is pure elementwise VPU work.)
+    """
+    out = jnp.full_like(seq_u8, np.uint8(ord("N")))
+    for x, y in zip(b"ACGT", b"TGCA"):
+        out = jnp.where(seq_u8 == np.uint8(x), np.uint8(y), out)
+    return out
 
 
 def sanitize(seq_bytes: bytes | np.ndarray) -> np.ndarray:
@@ -77,7 +87,7 @@ def canonical_kmer_hashes(seq_u8: jax.Array, k: int):
     n = L - k + 1
     fwd = hash_kmer_windows(seq_u8, k)
 
-    rc = _COMPLEMENT_J[seq_u8[..., ::-1]]
+    rc = _complement_j(seq_u8[..., ::-1])
     rc_hashes = hash_kmer_windows(rc, k)
     # rev-hash of window starting at i == hash of rc window starting at L-i-k
     bwd = rc_hashes[..., ::-1]

@@ -247,16 +247,30 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
 
     Returns (shared, votes, wpos_main, next_wpos, t_valid): (W, t_cap)
     arrays; the plateau walk over them happens on the host.
+
+    Algorithm: at trajectory step t (the insertion of interval entry t,
+    entries sorted by wpos), the active set is
+        {i : i <= t  and  wend_i > wpos_t}.
+    Per-sketch-bucket active counts therefore decompose into
+        inserted_by_t[bucket]  -  expired_by_t[bucket],
+    where inserted_by_t is a cumsum over entries in index order and
+    expired_by_t is a cumsum over entries in wend order, evaluated at
+    position searchsorted(wend_sorted, wpos_t, 'right'). Everything is
+    cumsum / small-sort / gather — O(T * s) work per work item (the
+    previous einsum form was O(T^2 * s), quadratic in the slice length).
+    The pivot rule (rank <= s_q, SlideMapper slidingMap.hpp:158,204)
+    is then a cumsum over the bucket axis.
     """
     W = w_lo.shape[0]
     T = t_cap
     M_len = mi_hash.shape[0]
+    BIG = jnp.int32(np.int32(2 ** 31 - 1))
 
-    i_idx = jnp.arange(T)[None, :]
+    i_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     gidx = jnp.minimum(w_lo[:, None] + i_idx, max(M_len - 1, 0))
     e_valid = (w_lo[:, None] + i_idx) < w_hi[:, None]
     hash_a = jnp.where(e_valid, mi_hash[gidx], UMAX)
-    wend_a = jnp.where(e_valid, mi_wend[gidx], 0)
+    wend_a = jnp.where(e_valid, mi_wend[gidx], BIG)
     strand_a = jnp.where(e_valid, mi_strand[gidx].astype(jnp.int32), 0)
     wpos_a = jnp.where(e_valid, mi_wpos[gidx], 0)
 
@@ -270,35 +284,46 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
     bq = jnp.minimum(b, s - 1)
     match = inb & (jnp.take_along_axis(q_hash, bq, axis=1) == hash_a) \
         & e_valid
-
-    # active[t, i] = (i <= t) & (wend_i > wpos_t)
-    ii = jnp.arange(T)
-    M = (ii[None, None, :] <= ii[None, :, None]) & \
-        (wend_a[:, None, :] > wpos_t[:, :, None]) & \
-        e_valid[:, None, :]
-    Mf = M.astype(jnp.bfloat16)
-
-    onehot = jax.nn.one_hot(jnp.where(match, bq, s), s + 1,
-                            dtype=jnp.bfloat16)           # (W, T, s+1)
     non = inb & ~match & e_valid
-    onehot_n = jax.nn.one_hot(jnp.where(non, bq, s), s + 1,
-                              dtype=jnp.bfloat16)
-    onehot_v = onehot * strand_a[:, :, None].astype(jnp.bfloat16)
 
-    A = jnp.einsum("wti,wis->wts", Mf, onehot,
-                   preferred_element_type=jnp.float32)
-    Cn = jnp.einsum("wti,wis->wts", Mf, onehot_n,
-                    preferred_element_type=jnp.float32)
-    V = jnp.einsum("wti,wis->wts", Mf, onehot_v,
-                   preferred_element_type=jnp.float32)
+    # one-hot bucket contributions (s+1 lanes; lane s = discard)
+    oh_m = jax.nn.one_hot(jnp.where(match, bq, s), s + 1, dtype=jnp.int32)
+    oh_n = jax.nn.one_hot(jnp.where(non, bq, s), s + 1, dtype=jnp.int32)
+    oh_v = oh_m * strand_a[:, :, None]
 
-    A = A[..., :s].astype(jnp.int32)
-    Cn = Cn[..., :s].astype(jnp.int32)
-    V = V[..., :s].astype(jnp.int32)
+    # inserted-by-t cumulative bucket counts (index order == wpos order)
+    ins_m = jnp.cumsum(oh_m, axis=1)
+    ins_n = jnp.cumsum(oh_n, axis=1)
+    ins_v = jnp.cumsum(oh_v, axis=1)
+
+    # expired-by-t: cumsum in wend order, evaluated at
+    # pos = #entries with wend <= wpos_t
+    eo = jnp.argsort(wend_a, axis=1)                      # (W, T)
+    wend_sorted = jnp.take_along_axis(wend_a, eo, axis=1)
+    exp_m = jnp.cumsum(jnp.take_along_axis(
+        oh_m, eo[:, :, None], axis=1), axis=1)
+    exp_n = jnp.cumsum(jnp.take_along_axis(
+        oh_n, eo[:, :, None], axis=1), axis=1)
+    exp_v = jnp.cumsum(jnp.take_along_axis(
+        oh_v, eo[:, :, None], axis=1), axis=1)
+    pos = jax.vmap(
+        lambda ws, wt: jnp.searchsorted(ws, wt, side="right"))(
+            wend_sorted, wpos_t)                          # (W, T)
+    posc = jnp.maximum(pos, 1) - 1
+    any_exp = (pos > 0)[:, :, None]
+    A = ins_m - jnp.where(any_exp, jnp.take_along_axis(
+        exp_m, posc[:, :, None], axis=1), 0)
+    Cn = ins_n - jnp.where(any_exp, jnp.take_along_axis(
+        exp_n, posc[:, :, None], axis=1), 0)
+    V = ins_v - jnp.where(any_exp, jnp.take_along_axis(
+        exp_v, posc[:, :, None], axis=1), 0)
+
+    A, Cn, V = A[..., :s], Cn[..., :s], V[..., :s]
 
     # pivot bound is the fragment's post-filter sketch size s_q
     # (SlideMapper pivRank <= Q.sketchSize, slidingMap.hpp:158,204)
-    rank = jnp.arange(1, s + 1)[None, None, :] + jnp.cumsum(Cn, axis=-1)
+    rank = (jnp.arange(1, s + 1, dtype=jnp.int32)[None, None, :]
+            + jnp.cumsum(Cn, axis=-1))
     Pmask = rank <= s_q[:, None, None]
     shared = jnp.sum(A * Pmask, axis=-1)
     votes = jnp.sum(V * Pmask * q_strand[:, None, :s].astype(jnp.int32),

@@ -115,6 +115,20 @@ def murmur128_low64(bytes_u8: jax.Array, length: int, seed: int = SEED):
     return h1
 
 
+def _pack_window_word(seq_u8: jax.Array, n: int, offset: int, nbytes: int):
+    """u64 word of bytes [offset, offset+nbytes) of every length-k window.
+
+    Gather-free: nbytes static shifted SLICES of the sequence axis. XLA
+    lowers slices to cheap static offsets (a windowed gather of the same
+    data compiles catastrophically slowly on TPU and runs worse).
+    """
+    w = jnp.zeros(seq_u8.shape[:-1] + (n,), dtype=_U64)
+    for b in range(nbytes):
+        w = w | (seq_u8[..., offset + b: offset + b + n].astype(_U64)
+                 << np.uint64(8 * b))
+    return w
+
+
 def hash_kmer_windows(seq_u8: jax.Array, k: int, seed: int = SEED):
     """Hash every length-k window of a byte sequence.
 
@@ -127,9 +141,52 @@ def hash_kmer_windows(seq_u8: jax.Array, k: int, seed: int = SEED):
     """
     L = seq_u8.shape[-1]
     n = L - k + 1
-    idx = jnp.arange(n)[:, None] + jnp.arange(k)[None, :]
-    windows = seq_u8[..., idx]  # (..., n, k)
-    return murmur128_low64(windows, k, seed)
+    h1 = jnp.full(seq_u8.shape[:-1] + (n,), np.uint64(seed), dtype=_U64)
+    h2 = jnp.full(seq_u8.shape[:-1] + (n,), np.uint64(seed), dtype=_U64)
+
+    nblocks = k // 16
+    for i in range(nblocks):
+        k1 = _pack_window_word(seq_u8, n, i * 16, 8)
+        k2 = _pack_window_word(seq_u8, n, i * 16 + 8, 8)
+        k1 = k1 * _C1
+        k1 = _rotl64(k1, 31)
+        k1 = k1 * _C2
+        h1 = h1 ^ k1
+        h1 = _rotl64(h1, 27)
+        h1 = h1 + h2
+        h1 = h1 * _M5 + _A1
+        k2 = k2 * _C2
+        k2 = _rotl64(k2, 33)
+        k2 = k2 * _C1
+        h2 = h2 ^ k2
+        h2 = _rotl64(h2, 31)
+        h2 = h2 + h1
+        h2 = h2 * _M5 + _A2
+
+    tail = k & 15
+    toff = nblocks * 16
+    if tail > 8:
+        k2 = _pack_window_word(seq_u8, n, toff + 8, tail - 8)
+        k2 = k2 * _C2
+        k2 = _rotl64(k2, 33)
+        k2 = k2 * _C1
+        h2 = h2 ^ k2
+    if tail > 0:
+        k1 = _pack_window_word(seq_u8, n, toff, min(tail, 8))
+        k1 = k1 * _C1
+        k1 = _rotl64(k1, 31)
+        k1 = k1 * _C2
+        h1 = h1 ^ k1
+
+    ln = np.uint64(k)
+    h1 = h1 ^ ln
+    h2 = h2 ^ ln
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = h1 + h2
+    return h1
 
 
 # ---------------------------------------------------------------------------

@@ -18,10 +18,15 @@ next block's prefix; bottom-s sketches are mergeable, so
     sketch(W = b*S_B + j) = bottom_s(suffix_sketch(b, j) U prefix_sketch(b+1, j)).
 
 Both sketch families are produced by a `lax.scan` over the S_B in-block
-offsets carrying a (num_blocks, s) sorted state — all blocks advance in
-lockstep, so the scan is a sequence of wide vector ops (VPU-friendly),
-and the total work is O(n_kmers * s) instead of the reference's
-O(n_kmers * log s) serial chain.
+offsets carrying a (num_blocks, s) sorted state — all blocks of ALL
+contigs advance in lockstep, so each scan step is one wide vector op.
+
+Performance-critical representation choice: 64-bit hash values are
+rank-reduced to dense int32 ranks on the host (one global np.unique)
+before touching the device. All device comparisons are then native
+int32 (XLA lowers u64 to slow 32-bit pair arithmetic on TPU), and theta
+ranks are mapped back to u64 hashes at the end. Orderings are identical
+by construction.
 
 Membership *events* (the actual minmer intervals) are derived from theta
 on the host with O(1) vectorized work per window — see index/builder.py.
@@ -30,25 +35,27 @@ on the host with O(1) vectorized work per window — see index/builder.py.
 from __future__ import annotations
 
 import functools
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # "+inf" hash / invalid marker
+RSENT = np.int32(np.iinfo(np.int32).max)  # "+inf" rank
 
 
 def _insert_bottom_s(state: jax.Array, v: jax.Array) -> jax.Array:
     """Insert v into each row's sorted distinct bottom-s set.
 
-    state: (C, s) uint64 sorted ascending, SENTINEL-padded.
-    v: (C,) uint64 (SENTINEL = skip).
+    state: (C, s) int32 ranks sorted ascending, RSENT-padded.
+    v: (C,) int32 (RSENT = skip).
     """
     s = state.shape[-1]
     is_dup = jnp.any(state == v[:, None], axis=-1)
-    skip = is_dup | (v == SENTINEL)
+    skip = is_dup | (v == RSENT)
     pos = jnp.sum(state < v[:, None], axis=-1)  # insert position
-    idx = jnp.arange(s)[None, :]
+    idx = jnp.arange(s, dtype=jnp.int32)[None, :]
     shifted = jnp.concatenate([state[:, :1], state[:, :-1]], axis=-1)
     cand = jnp.where(idx < pos[:, None], state,
                      jnp.where(idx == pos[:, None], v[:, None], shifted))
@@ -56,25 +63,25 @@ def _insert_bottom_s(state: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
-    """s-th smallest distinct of two sorted SENTINEL-padded (C, s) sets.
+    """s-th smallest distinct of two sorted RSENT-padded (C, s) rank sets.
 
     Scatter/sort-free rank counting (scatters and sorts serialize on the
     VPU; this is pure elementwise + small reductions): for a candidate
     value x, its distinct-union rank is
         f(x) = #A<=x + #B<=x - #dup<=x,
     and theta is the smallest candidate with f(x) == s. The #<=
-    counts come from an (C, s, s) comparison cube — s is small, so this
-    is cheap dense VPU work.
+    counts come from an (C, s, s) comparison cube of int32 ranks — dense
+    native-dtype VPU work with no gathers.
     """
-    valid_a = a != SENTINEL
-    valid_b = b != SENTINEL
+    valid_a = a != RSENT
+    valid_b = b != RSENT
     # cmp[c, i, j] over candidate i of one set vs elements j of the other
     le_ba = (b[:, None, :] <= a[:, :, None]) & valid_b[:, None, :]
     eq_ba = (b[:, None, :] == a[:, :, None]) & valid_b[:, None, :]
     rB_a = jnp.sum(le_ba, axis=-1)                    # #B <= a_i
     dup_a = jnp.any(eq_ba, axis=-1)                   # a_i in B
     csum_dup_a = jnp.cumsum(dup_a.astype(jnp.int32), axis=-1)
-    i = jnp.arange(1, s + 1)[None, :]
+    i = jnp.arange(1, s + 1, dtype=jnp.int32)[None, :]
     f_a = i + rB_a - csum_dup_a                       # distinct rank of a_i
 
     le_ab = (a[:, None, :] <= b[:, :, None]) & valid_a[:, None, :]
@@ -84,24 +91,24 @@ def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
     csum_dup_b = jnp.cumsum(dup_b.astype(jnp.int32), axis=-1)
     f_b = i + rA_b - csum_dup_b
 
-    th_a = jnp.min(jnp.where((f_a == s) & valid_a, a, SENTINEL), axis=-1)
-    th_b = jnp.min(jnp.where((f_b == s) & valid_b, b, SENTINEL), axis=-1)
+    th_a = jnp.min(jnp.where((f_a == s) & valid_a, a, RSENT), axis=-1)
+    th_b = jnp.min(jnp.where((f_b == s) & valid_b, b, RSENT), axis=-1)
     return jnp.minimum(th_a, th_b)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "s_b"))
 def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
-    """theta for all windows starting inside a chunk of blocks.
+    """theta ranks for all windows starting inside a chunk of blocks.
 
     Args:
-      cur: (C, S_B) uint64 hashes of blocks b (SENTINEL where invalid).
-      nxt: (C, S_B) uint64 hashes of blocks b+1.
+      cur: (C, S_B) int32 ranks of blocks b (RSENT where invalid).
+      nxt: (C, S_B) int32 ranks of blocks b+1.
 
     Returns:
-      theta: (C, S_B) uint64; theta[c, j] for window W = b_c * S_B + j.
+      theta: (C, S_B) int32; theta[c, j] for window W = b_c * S_B + j.
     """
     C = cur.shape[0]
-    init = jnp.full((C, s), SENTINEL, dtype=jnp.uint64)
+    init = jnp.full((C, s), RSENT, dtype=jnp.int32)
 
     # suffix sketches of `cur`: scan offsets S_B-1 .. 0
     def suf_step(state, v):
@@ -125,13 +132,96 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
 
 def _default_chunk_bytes() -> int:
     """Pick the suffix-sketch materialization budget by platform."""
-    import jax
     try:
         if jax.devices()[0].platform == "cpu":
             return 256 << 20
     except Exception:
         pass
-    return 2 << 30  # TPU HBM: bigger chunks => fewer scan iterations
+    return 2 << 30  # TPU HBM: bigger chunks => fewer kernel launches
+
+
+def window_thresholds_batch(
+    contigs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    s: int,
+    window_span: int,
+    block_chunk_bytes: int | None = None,
+) -> List[np.ndarray]:
+    """theta(W) for every window of every contig, one device pipeline.
+
+    Args:
+      contigs: list of (hashes u64, valid bool) per contig.
+      s: sketch size.
+      window_span: S_B = windowSize - k + 1 (k-mer positions per window).
+
+    Returns:
+      list of (n_w_i,) uint64 theta arrays (n_w_i = n_k_i - S_B + 1, may
+      be empty); SENTINEL where a window holds < s distinct valid hashes.
+    """
+    if block_chunk_bytes is None:
+        block_chunk_bytes = _default_chunk_bytes()
+    s_b = int(window_span)
+
+    # ---- global rank reduction (host): u64 hashes -> dense int32 ranks
+    masked = [np.where(v, h, SENTINEL) for h, v in contigs
+              if len(h) - s_b + 1 > 0]
+    if not masked:
+        return [np.empty(0, np.uint64) for _ in contigs]
+    uniq = np.unique(np.concatenate(masked))
+    if len(uniq) and uniq[-1] == SENTINEL:
+        uniq = uniq[:-1]
+    assert len(uniq) < np.iinfo(np.int32).max
+
+    # ---- block decomposition across ALL contigs
+    cur_rows, nxt_rows, spans = [], [], []
+    row0 = 0
+    for h, v in contigs:
+        n_k = len(h)
+        n_w = n_k - s_b + 1
+        if n_w <= 0:
+            spans.append(None)
+            continue
+        hm = np.where(v, h, SENTINEL)
+        sent = hm == SENTINEL
+        r = np.searchsorted(uniq, hm)
+        r[sent] = RSENT
+        r = r.astype(np.int32)
+        n_blocks = -(-n_k // s_b)
+        pad = n_blocks * s_b - n_k
+        if pad:
+            r = np.concatenate([r, np.full(pad, RSENT, np.int32)])
+        blocks = r.reshape(n_blocks, s_b)
+        blocks_next = np.concatenate(
+            [blocks[1:], np.full((1, s_b), RSENT, np.int32)], axis=0)
+        cur_rows.append(blocks)
+        nxt_rows.append(blocks_next)
+        spans.append((row0, n_blocks, n_w))
+        row0 += n_blocks
+
+    cur = np.concatenate(cur_rows, axis=0)
+    nxt = np.concatenate(nxt_rows, axis=0)
+    n_total = cur.shape[0]
+
+    # ---- device scan, chunked by HBM budget
+    # live set per chunk: suf stack (S_B, C, s) i32 + in/out (C, S_B) i32
+    per_row = s_b * max(s, 1) * 4
+    chunk = max(1, block_chunk_bytes // per_row)
+    theta_rank = np.empty((n_total, s_b), dtype=np.int32)
+    for c0 in range(0, n_total, chunk):
+        c1 = min(c0 + chunk, n_total)
+        theta_rank[c0:c1] = np.asarray(_theta_chunk(
+            jnp.asarray(cur[c0:c1]), jnp.asarray(nxt[c0:c1]), s, s_b))
+
+    # ---- rank -> hash, split back per contig
+    lut = np.concatenate([uniq, [SENTINEL]])
+    out: List[np.ndarray] = []
+    for sp in spans:
+        if sp is None:
+            out.append(np.empty(0, np.uint64))
+            continue
+        row0, n_blocks, n_w = sp
+        tr = theta_rank[row0:row0 + n_blocks].reshape(-1)[:n_w]
+        out.append(lut[np.minimum(tr, len(uniq))])
+    return out
 
 
 def window_thresholds(
@@ -141,44 +231,9 @@ def window_thresholds(
     window_span: int,
     block_chunk_bytes: int | None = None,
 ) -> np.ndarray:
-    """theta(W) for every window of one contig.
-
-    Args:
-      hashes: (n_k,) uint64 canonical k-mer hashes (host array).
-      valid: (n_k,) bool (invalid k-mers never enter a window).
-      s: sketch size.
-      window_span: S_B = windowSize - k + 1 (k-mer positions per window).
-
-    Returns:
-      (n_w,) uint64 with n_w = n_k - S_B + 1; SENTINEL where a window holds
-      fewer than s distinct valid hashes.
-    """
-    if block_chunk_bytes is None:
-        block_chunk_bytes = _default_chunk_bytes()
-    n_k = int(hashes.shape[0])
-    s_b = int(window_span)
-    n_w = n_k - s_b + 1
-    if n_w <= 0:
-        return np.empty((0,), dtype=np.uint64)
-
-    h = np.where(valid, hashes, SENTINEL).astype(np.uint64)
-    n_blocks = -(-n_k // s_b)
-    pad = n_blocks * s_b - n_k
-    if pad:
-        h = np.concatenate([h, np.full(pad, SENTINEL, np.uint64)])
-    blocks = h.reshape(n_blocks, s_b)
-    # block of SENTINELs serves as "next" for the last block
-    blocks_next = np.concatenate(
-        [blocks[1:], np.full((1, s_b), SENTINEL, np.uint64)], axis=0)
-
-    chunk = max(1, block_chunk_bytes // (s_b * max(s, 1) * 8))
-    out = np.empty((n_blocks, s_b), dtype=np.uint64)
-    for c0 in range(0, n_blocks, chunk):
-        c1 = min(c0 + chunk, n_blocks)
-        cur = jnp.asarray(blocks[c0:c1])
-        nxt = jnp.asarray(blocks_next[c0:c1])
-        out[c0:c1] = np.asarray(_theta_chunk(cur, nxt, s, s_b))
-    return out.reshape(-1)[:n_w]
+    """theta(W) for every window of one contig (see batch variant)."""
+    return window_thresholds_batch(
+        [(hashes, valid)], s, window_span, block_chunk_bytes)[0]
 
 
 def window_thresholds_bruteforce(

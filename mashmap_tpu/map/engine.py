@@ -477,8 +477,10 @@ class Mapper:
         qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
               for q in queries]
 
-        # pad batch to powers of two to bound recompiles
-        Bp = max(8, 1 << (B - 1).bit_length())
+        # pad batch to a fixed floor (then powers of two) so the l1_step
+        # XLA shape — and its multi-second compile — is reused across
+        # batches and processes
+        Bp = max(p.batch_fragments, 1 << (B - 1).bit_length())
         matp = mat
         allowedp = allowed
         if Bp > B:
@@ -524,47 +526,60 @@ class Mapper:
                     self.mi_key, (np.int64(seq) << 32) | np.int64(re + 1)))
                 work.append((i, j, lo, mid, hi))
 
-        todo = [w for w in work if w[4] - w[2] <= cfg.t_cap]
-        host_l2_set = {(w[0], w[1]) for w in work
-                       if w[4] - w[2] > cfg.t_cap}
+        # bucket work items by interval-slice length; W*T stays constant
+        # so device memory and compile shapes are bounded (3 shapes total)
+        AREA = p.l2_batch * p.l2_entries_cap
+        T_BUCKETS = (512, 2048, 8192)
+        t_max = T_BUCKETS[-1]
+        buckets: dict[int, list] = {t: [] for t in T_BUCKETS}
+        host_l2_set = set()
+        for w in work:
+            span = w[4] - w[2]
+            for t in T_BUCKETS:
+                if span <= t:
+                    buckets[t].append(w)
+                    break
+            else:
+                host_l2_set.add((w[0], w[1]))
         loci_by = {}
-        W_STEP = p.l2_batch
-        for w0 in range(0, len(todo), W_STEP):
-            chunk = todo[w0:w0 + W_STEP]
-            Wp = W_STEP
-            w_lo = np.zeros(Wp, np.int32)
-            w_mid = np.zeros(Wp, np.int32)
-            w_hi = np.zeros(Wp, np.int32)
-            w_seq = np.zeros(Wp, np.int32)
-            qh = np.full((Wp, p.sketch_size),
-                         np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
-            qs = np.zeros((Wp, p.sketch_size), np.int8)
-            sqv = np.ones(Wp, np.int32)
-            for r, (i, j, lo, mid, hi) in enumerate(chunk):
-                w_lo[r], w_mid[r], w_hi[r] = lo, mid, hi
-                w_seq[r] = int(o["cand_seq"][i, j])
-                qh[r] = o["q_hash"][i]
-                qs[r] = o["q_strand"][i]
-                sqv[r] = o["s_q"][i]
-            shared, votes, wpos_a, next_wpos, t_main = l2_step(
-                jnp.asarray(w_lo), jnp.asarray(w_mid), jnp.asarray(w_hi),
-                jnp.asarray(w_seq), jnp.asarray(qh), jnp.asarray(qs),
-                jnp.asarray(sqv),
-                dev["mi_hash"], dev["mi_wpos"], dev["mi_wend"],
-                dev["mi_strand"], dev["mi_seqid"],
-                cfg.t_cap, p.sketch_size)
-            shared = np.asarray(shared)
-            votes = np.asarray(votes)
-            wpos_a = np.asarray(wpos_a)
-            next_wpos = np.asarray(next_wpos)
-            t_main = np.asarray(t_main)
-            for r, (i, j, lo, mid, hi) in enumerate(chunk):
-                tm = t_main[r]
-                loci_by[(i, j)] = l2_mod.plateau_loci(
-                    shared[r][tm], votes[r][tm],
-                    wpos_a[r][tm].astype(np.int64),
-                    next_wpos[r][tm].astype(np.int64),
-                    int(o["cand_seq"][i, j]), p.seg_length, 0)
+        for T, todo in buckets.items():
+            W_STEP = max(8, AREA // T)
+            for w0 in range(0, len(todo), W_STEP):
+                chunk = todo[w0:w0 + W_STEP]
+                Wp = W_STEP
+                w_lo = np.zeros(Wp, np.int32)
+                w_mid = np.zeros(Wp, np.int32)
+                w_hi = np.zeros(Wp, np.int32)
+                w_seq = np.zeros(Wp, np.int32)
+                qh = np.full((Wp, p.sketch_size),
+                             np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+                qs = np.zeros((Wp, p.sketch_size), np.int8)
+                sqv = np.ones(Wp, np.int32)
+                for r, (i, j, lo, mid, hi) in enumerate(chunk):
+                    w_lo[r], w_mid[r], w_hi[r] = lo, mid, hi
+                    w_seq[r] = int(o["cand_seq"][i, j])
+                    qh[r] = o["q_hash"][i]
+                    qs[r] = o["q_strand"][i]
+                    sqv[r] = o["s_q"][i]
+                shared, votes, wpos_a, next_wpos, t_main = l2_step(
+                    jnp.asarray(w_lo), jnp.asarray(w_mid),
+                    jnp.asarray(w_hi), jnp.asarray(w_seq),
+                    jnp.asarray(qh), jnp.asarray(qs), jnp.asarray(sqv),
+                    dev["mi_hash"], dev["mi_wpos"], dev["mi_wend"],
+                    dev["mi_strand"], dev["mi_seqid"],
+                    T, p.sketch_size)
+                shared = np.asarray(shared)
+                votes = np.asarray(votes)
+                wpos_a = np.asarray(wpos_a)
+                next_wpos = np.asarray(next_wpos)
+                t_main = np.asarray(t_main)
+                for r, (i, j, lo, mid, hi) in enumerate(chunk):
+                    tm = t_main[r]
+                    loci_by[(i, j)] = l2_mod.plateau_loci(
+                        shared[r][tm], votes[r][tm],
+                        wpos_a[r][tm].astype(np.int64),
+                        next_wpos[r][tm].astype(np.int64),
+                        int(o["cand_seq"][i, j]), p.seg_length, 0)
 
         # per-fragment row assembly with exact pruning semantics
         rows_by_frag = []

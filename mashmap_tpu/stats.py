@@ -153,7 +153,23 @@ def sketch_cutoffs(
     when the best candidate's intersection size is ``cmax``.
     Reference: src/map/include/computeMap.hpp:178-258 (Map::setProbs).
     Returns an int array of length ``min(sketch_size, ss_table_max)+1``.
+
+    The table depends only on its arguments and costs seconds of SciPy
+    time (the reference pays the same via GSL on every start,
+    computeMap.hpp:178), so it is memoized on disk.
     """
+    import os
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")), "mashmap_tpu")
+    cache_key = (f"cutoffs_v1_{sketch_size}_{kmer_size}_{ANIDiff:.6g}_"
+                 f"{ANIDiffConf:.6g}_{ss_table_max:.6g}.npy")
+    cache_path = os.path.join(cache_dir, cache_key)
+    try:
+        return np.load(cache_path)
+    except Exception:
+        pass
+
     min_p = 1.0 - ANIDiffConf
     ss = int(min(float(sketch_size), ss_table_max))
 
@@ -201,4 +217,9 @@ def sketch_cutoffs(
         table[cmax] = lo
         if table[cmax] == 0:
             table[cmax] = 1
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(cache_path, table)
+    except Exception:
+        pass
     return table
