@@ -13,6 +13,7 @@ import sys
 
 from .params import Parameters, FIXED, FILTER_MAP, FILTER_NONE, \
     FILTER_ONETOONE
+from .utils import handy_parameter
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -30,16 +31,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--query", help="input query file")
     p.add_argument("--ql", "--queryList", dest="queryList",
                    help="file containing list of query files")
-    p.add_argument("-s", "--segLength", type=int, default=5000,
-                   help="mapping segment length [default: 5,000]")
+    p.add_argument("-s", "--segLength", type=handy_parameter, default=5000,
+                   help="mapping segment length, accepts k/M/G suffixes "
+                        "[default: 5,000]")
     p.add_argument("-J", "--sketchSize", type=int, default=None,
                    help="number of sketch elements")
     p.add_argument("--dense", action="store_true",
                    help="use dense sketching for higher ANI accuracy")
-    p.add_argument("-l", "--blockLength", type=int, default=None,
-                   help="keep merged mappings of at least this length")
-    p.add_argument("-c", "--chainGap", type=int, default=None,
-                   help="chain mappings closer than this distance")
+    p.add_argument("-l", "--blockLength", type=handy_parameter,
+                   default=None,
+                   help="keep merged mappings of at least this length "
+                        "(k/M/G suffixes ok)")
+    p.add_argument("-c", "--chainGap", type=handy_parameter, default=None,
+                   help="chain mappings closer than this distance "
+                        "(k/M/G suffixes ok)")
     p.add_argument("-n", "--numMappingsForSegment", type=int, default=1,
                    help="mappings to retain per segment [default: 1]")
     p.add_argument("--numMappingsForShortSeq", type=int, default=1,
@@ -118,11 +123,32 @@ def args_to_params(a) -> Parameters:
         queries = [line.strip() for line in open(a.queryList)
                    if line.strip()]
 
+    # validation mirrors parseCmdArgs.hpp:455-581
     if a.segLength < 100:
-        print("ERROR: minimum segment length is 100 bp", file=sys.stderr)
+        print("ERROR: minimum segment length is required to be >= 100 bp",
+              file=sys.stderr)
+        sys.exit(1)
+    if a.blockLength is not None and a.blockLength < 0:
+        print("ERROR: min block length has to be >= 0", file=sys.stderr)
+        sys.exit(1)
+    if a.chainGap is not None and a.chainGap < 0:
+        print("ERROR: chain gap has to be >= 0", file=sys.stderr)
+        sys.exit(1)
+    if a.numMappingsForSegment <= 0 or a.numMappingsForShortSeq <= 0:
+        print("ERROR: the number of mappings to retain has to be "
+              "greater than 0", file=sys.stderr)
         sys.exit(1)
     if a.perc_identity < 50:
-        print("ERROR: minimum identity threshold is 50%", file=sys.stderr)
+        print("ERROR: minimum nucleotide identity requirement should "
+              "be >= 50%", file=sys.stderr)
+        sys.exit(1)
+    if not (0 <= a.hgFilterAniDiff <= 100):
+        print("ERROR: ANI difference must be between 0 and 100",
+              file=sys.stderr)
+        sys.exit(1)
+    if not (0 <= a.hgFilterConf <= 100):
+        print("ERROR: hypergeometric confidence must be between 0 and "
+              "100", file=sys.stderr)
         sys.exit(1)
 
     mode = {"map": FILTER_MAP, "one-to-one": FILTER_ONETOONE,

@@ -111,6 +111,7 @@ def contig_minmer_intervals(
     theta: np.ndarray,
     window_span: int,
     n_flush: int,
+    sent=SENTINEL,
 ):
     """Minmer membership intervals of one contig from theta.
 
@@ -139,11 +140,11 @@ def contig_minmer_intervals(
     n_k = len(h)
     s_b = int(window_span)
     n_w = len(theta)
-    empty_u64 = np.empty(0, np.uint64)
+    empty_h = np.empty(0, h.dtype)
     empty_i = np.empty(0, np.int64)
     if n_w <= 0:
-        return ((empty_u64, empty_i, empty_i),
-                (empty_u64, empty_i, empty_i, np.empty(0, np.int8)))
+        return ((empty_h, empty_i, empty_i),
+                (empty_h, empty_i, empty_i, np.empty(0, np.int8)))
 
     # --- prev/next valid occurrence of the same hash ---
     vpos = np.nonzero(valid)[0]
@@ -172,9 +173,9 @@ def contig_minmer_intervals(
     lost = valid[p_out] & (next_occ[p_out] > W + s_b - 1)
     end1 = lost & (h_out <= theta[W - 1])
     rose = theta[W] > theta[W - 1]
-    begin2 = rose & (theta[W] != SENTINEL) & ~(begin1 & (h_in == theta[W]))
+    begin2 = rose & (theta[W] != sent) & ~(begin1 & (h_in == theta[W]))
     fell = theta[W] < theta[W - 1]
-    end2 = fell & (theta[W - 1] != SENTINEL) & ~(lost & (h_out == theta[W - 1]))
+    end2 = fell & (theta[W - 1] != sent) & ~(lost & (h_out == theta[W - 1]))
 
     # initial members of window 0
     p0 = np.arange(min(s_b, n_k), dtype=np.int64)
@@ -287,7 +288,7 @@ def contig_minmer_intervals(
             s_we.append(np.array([int(iv_we[i])]))
             s_strand.append(np.array([REV if v < 0 else FWD], np.int8))
 
-    s_hash = np.concatenate(s_hash).astype(np.uint64)
+    s_hash = np.concatenate(s_hash).astype(h.dtype)
     s_wb = np.concatenate(s_wb).astype(np.int64)
     s_we = np.concatenate(s_we).astype(np.int64)
     s_strand = np.concatenate(s_strand).astype(np.int8)
@@ -454,8 +455,16 @@ def build_index(
 
     span = window_size - kmer_size + 1
 
-    # phase 1: canonical-hash every indexable contig (device murmur kernel)
-    hashed: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+    # ---- phase 1: canonical-hash every indexable contig on the device,
+    # results STAY on the device (device->host fetches are the expensive
+    # direction on tunneled TPU backends: ~300ms latency, ~20 MB/s).
+    import jax
+    import jax.numpy as jnp
+    fn = _hash_slab_fn(kmer_size)
+    slab_h, slab_st, slab_valid = [], [], []
+    # (seq_id, start_in_concat_with_pads, n_kmers)
+    spans_c: List[Tuple[int, int, int]] = []
+    concat_off = 0
     for seq_id, (name, seq) in enumerate(contigs):
         names.append(name)
         lengths.append(len(seq))
@@ -465,17 +474,80 @@ def build_index(
             #  commonFunc.hpp:455; shorter contigs yield no minmers)
             continue
         seq_u8 = kmers.sanitize(seq.encode("ascii"))
-        h, st, valid = _canonical_hash_contig(seq_u8, kmer_size)
-        hashed.append((seq_id, h, st, valid))
+        n = len(seq_u8) - kmer_size + 1
+        start = concat_off
+        for lo in range(0, n, _HASH_SLAB):
+            hi = min(lo + _HASH_SLAB, n)
+            raw = seq_u8[lo:hi + kmer_size - 1]
+            padded_L = _pad_len(len(raw))
+            if padded_L > len(raw):
+                buf = np.full(padded_L, ord("N"), np.uint8)
+                buf[:len(raw)] = raw
+                raw = buf
+            ch, cs, cv = fn(jnp.asarray(raw), lo == 0)
+            n_out = int(ch.shape[0])
+            # mask everything past the real slab (padding + the next
+            # slab's overlap region) as invalid
+            mask = np.zeros(n_out, bool)
+            mask[: hi - lo] = True
+            slab_h.append(ch)
+            slab_st.append(cs)
+            slab_valid.append(cv & jnp.asarray(mask))
+            concat_off += n_out
+        spans_c.append((seq_id, start, n))
 
-    # phase 2: one batched theta scan over all contigs' blocks
-    thetas = winnow.window_thresholds_batch(
-        [(h, valid) for (_, h, _, valid) in hashed], sketch_size, span)
+    if not names:
+        raise ValueError("No sequences indexed!")
 
-    # phase 3: membership events per contig (host, vectorized)
-    for (seq_id, h, st, valid), theta in zip(hashed, thetas):
+    hashed_any = bool(spans_c)
+    if hashed_any:
+        # ---- phase 2: global rank reduction on device; fetch ONLY the
+        # compact int32 ranks + strands (one transfer)
+        hm = jnp.concatenate([
+            jnp.where(v, h, winnow.SENTINEL)
+            for h, v in zip(slab_h, slab_valid)])
+        total = int(hm.shape[0])
+        padded = _pad_len(total)
+        if padded > total:
+            hm = jnp.concatenate([
+                hm, jnp.full(padded - total, winnow.SENTINEL, jnp.uint64)])
+        ranks_dev, lut_dev = winnow._rank_reduce(hm)
+        st_dev = jnp.concatenate(slab_st)
+        ranks_all, st_all = jax.device_get((ranks_dev[:total], st_dev))
+        del slab_h, slab_st, slab_valid
+
+        per_contig: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        for seq_id, start, n in spans_c:
+            # slabs are padded: positions within a contig are contiguous
+            # only inside each slab; rebuild the contig view slab by slab
+            pieces_r, pieces_s = [], []
+            got = 0
+            off = start
+            while got < n:
+                take = min(_HASH_SLAB, n - got)
+                slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
+                pieces_r.append(ranks_all[off:off + take])
+                pieces_s.append(st_all[off:off + take])
+                off += slab_len
+                got += take
+            per_contig.append((
+                seq_id,
+                np.concatenate(pieces_r),
+                np.concatenate(pieces_s)))
+
+        # ---- phase 3: batched theta scan (int32 ranks in, ranks out)
+        thetas = winnow.theta_scan_ranks(
+            [r for _, r, _ in per_contig], sketch_size, span)
+    else:
+        per_contig, thetas = [], []
+
+    # ---- phase 4: membership events per contig (host, vectorized, all
+    # in the int32 rank domain; u64 hashes are resolved at the end)
+    for (seq_id, r, st), theta in zip(per_contig, thetas):
+        valid = r != winnow.RSENT
         (ph, pb, pe), (mh, mb, me, ms) = contig_minmer_intervals(
-            h, valid, st, theta, span, n_flush=len(h))
+            r, valid, st, theta, span, n_flush=len(r),
+            sent=winnow.RSENT)
         acc_hash.append(ph)
         acc_wb.append(pb)
         acc_we.append(pe)
@@ -489,22 +561,20 @@ def build_index(
         acc_ms.append(ms[o])
         acc_mseq.append(np.full(len(mh), seq_id, np.int32))
 
-    if not names:
-        raise ValueError("No sequences indexed!")
-
     def _cat(parts, dtype):
         return (np.concatenate(parts).astype(dtype) if parts
                 else np.empty(0, dtype))
 
-    ph = _cat(acc_hash, np.uint64)
+    ph = _cat(acc_hash, np.int32)         # rank domain
     pb = _cat(acc_wb, np.int32)
     pe = _cat(acc_we, np.int32)
     pseq = _cat(acc_seq, np.int32)
 
-    # CSR postings: sort by (hash, seqid, wpos)
+    # CSR postings: sort by (hash-rank, seqid, wpos) — ranks sort in the
+    # same order as the u64 hash values by construction
     o = np.lexsort((pb, pseq, ph))
     ph, pb, pe, pseq = ph[o], pb[o], pe[o], pseq[o]
-    uniq_hashes, starts, counts = np.unique(
+    uniq_ranks, starts, counts = np.unique(
         ph, return_index=True, return_counts=True)
     post_offsets = np.concatenate(
         (starts, [len(ph)])).astype(np.int64)
@@ -513,7 +583,7 @@ def build_index(
     freq_threshold = _freq_threshold(sizes, kmer_pct_threshold)
     is_frequent = sizes >= freq_threshold
 
-    mi_hash = _cat(acc_mh, np.uint64)
+    mi_rank = _cat(acc_mh, np.int32)
     mi_wpos = _cat(acc_mb, np.int32)
     mi_wend = _cat(acc_me, np.int32)
     mi_strand = _cat(acc_ms, np.int8)
@@ -521,11 +591,22 @@ def build_index(
 
     # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504)
     if is_frequent.any():
-        idx = np.searchsorted(uniq_hashes, mi_hash)
+        idx = np.searchsorted(uniq_ranks, mi_rank)
         drop = is_frequent[idx]
         keep = ~drop
-        mi_hash, mi_wpos, mi_wend = mi_hash[keep], mi_wpos[keep], mi_wend[keep]
+        mi_rank, mi_wpos, mi_wend = (mi_rank[keep], mi_wpos[keep],
+                                     mi_wend[keep])
         mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
+
+    # ---- final: resolve rank keys back to u64 hashes with one device
+    # gather + one fetch (the LUT itself never crosses the tunnel)
+    if hashed_any and (len(uniq_ranks) or len(mi_rank)):
+        uniq_hashes, mi_hash = jax.device_get((
+            lut_dev[jnp.asarray(uniq_ranks)],
+            lut_dev[jnp.asarray(mi_rank)]))
+    else:
+        uniq_hashes = np.empty(0, np.uint64)
+        mi_hash = np.empty(0, np.uint64)
 
     logger.info(
         "indexed %d contigs: %d minmer windows, %d unique minmers, "

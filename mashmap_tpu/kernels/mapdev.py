@@ -223,12 +223,41 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     overflow_c = n_cand > C
     n_cand = jnp.minimum(n_cand, C)
 
+    # pack EVERYTHING into ONE (B, 4+4C+3s) i32 buffer: on tunneled TPU
+    # backends every device->host array fetch pays ~300ms of latency, so
+    # one fetch per batch beats one per output. u64 sketch hashes ride
+    # as two i32 lanes; complexity rides as its f32 bit pattern.
+    qh32 = jax.lax.bitcast_convert_type(
+        q_hash_c, jnp.uint32).reshape(B, 2 * s).astype(jnp.int32)
+    meta = jnp.concatenate([
+        s_q[:, None], n_cand[:, None],
+        (overflow_l1 | overflow_c).astype(jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(
+            q_cx.astype(jnp.float32), jnp.int32)[:, None],
+        c_seq, c_first, c_last, c_inter,
+        qh32, q_strand_c.astype(jnp.int32)], axis=1)
+    return meta
+
+
+def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
+    """Host-side view splitter for l1_step's packed output buffer."""
+    C = c_cap
+    o = 4 + 4 * C
+    qh = np.ascontiguousarray(
+        meta[:, o:o + 2 * s]).view(np.uint32).astype(
+        np.uint64).reshape(-1, s, 2)
     return {
-        "q_hash": q_hash_c, "q_strand": q_strand_c, "s_q": s_q,
-        "complexity": q_cx,
-        "cand_seq": c_seq, "cand_start": c_first, "cand_end": c_last,
-        "cand_inter": c_inter, "n_cand": n_cand,
-        "overflow": overflow_l1 | overflow_c,
+        "s_q": meta[:, 0],
+        "n_cand": meta[:, 1],
+        "overflow": meta[:, 2] != 0,
+        "complexity": np.ascontiguousarray(
+            meta[:, 3:4]).view(np.float32)[:, 0],
+        "cand_seq": meta[:, 4:4 + C],
+        "cand_start": meta[:, 4 + C:4 + 2 * C],
+        "cand_end": meta[:, 4 + 2 * C:4 + 3 * C],
+        "cand_inter": meta[:, 4 + 3 * C:4 + 4 * C],
+        "q_hash": qh[:, :, 0] | (qh[:, :, 1] << np.uint64(32)),
+        "q_strand": meta[:, o + 2 * s:o + 3 * s].astype(np.int8),
     }
 
 
@@ -334,4 +363,55 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
     same_seq = nxt_ok & (mi_seqid[gnext] == w_seq[:, None])
     next_wpos = jnp.where(same_seq, mi_wpos[gnext], wpos_a)
 
-    return shared, votes, wpos_a, next_wpos, t_is_main
+    # ---- optimal-plateau run extraction ON DEVICE (plateau_loci's run
+    # phase, computeMap.hpp:1373-1450; the <= L-run merge happens on the
+    # host). Fetching full trajectories costs 20T bytes/item over the
+    # tunnel; runs cost ~3L.
+    main = t_is_main
+    sh_m = jnp.where(main, shared, -1)
+    best = jnp.maximum(jnp.max(sh_m, axis=1), 1)          # (W,)
+    eq = main & (shared == best[:, None])
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((W, 1), bool), eq[:, :-1]], axis=1)
+    run_start = eq & ~prev_eq
+    rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
+
+    L = L2_RUN_CAP
+    col = jnp.arange(T, dtype=jnp.int32)
+
+    def row_runs(eqr, ridr, wposr):
+        tgt = jnp.where(eqr & (ridr < L), ridr, L)
+        start_w = jnp.full((L + 1,), np.int32(2**31 - 1),
+                           jnp.int32).at[tgt].min(wposr)[:L]
+        tb = jnp.full((L + 1,), np.int32(-1), jnp.int32).at[tgt].max(
+            col)[:L]
+        return start_w, tb
+
+    start_w, tb = jax.vmap(row_runs)(eq, rid, wpos_a)      # (W, L)
+    n_runs = jnp.max(jnp.where(eq, rid, -1), axis=1) + 1   # (W,)
+    run_overflow = n_runs > L
+
+    tbc = jnp.clip(tb, 0, T - 1)
+    nxt_col = jnp.minimum(tbc + 1, T - 1)
+    use_next = jnp.take_along_axis(e_valid, nxt_col, axis=1)
+    end_col = jnp.where(use_next, nxt_col, tbc)
+    opt_end = jnp.take_along_axis(next_wpos, end_col, axis=1)
+    vote_tb = jnp.take_along_axis(votes, tbc, axis=1)
+
+    # ONE (W, 3 + 3L) i32 buffer -> one device->host fetch per chunk
+    return jnp.concatenate([
+        n_runs[:, None], best[:, None],
+        run_overflow.astype(jnp.int32)[:, None],
+        start_w, opt_end, jnp.where(vote_tb >= 0, 1, -1)], axis=1)
+
+
+L2_RUN_CAP = 16
+
+
+def unpack_l2_runs(buf: np.ndarray):
+    """(n_runs, best, overflow, starts, ends, strands) views of
+    l2_step's packed run buffer."""
+    L = L2_RUN_CAP
+    return (buf[:, 0], buf[:, 1], buf[:, 2] != 0,
+            buf[:, 3:3 + L], buf[:, 3 + L:3 + 2 * L],
+            buf[:, 3 + 2 * L:3 + 3 * L])

@@ -140,51 +140,77 @@ def _default_chunk_bytes() -> int:
     return 2 << 30  # TPU HBM: bigger chunks => fewer kernel launches
 
 
-def window_thresholds_batch(
-    contigs: Sequence[Tuple[np.ndarray, np.ndarray]],
+@functools.partial(jax.jit, static_argnames=())
+def _rank_reduce(hm: jax.Array):
+    """Dense int32 ranks of a SENTINEL-masked u64 array (device).
+
+    Returns (ranks, lut): ranks[i] = rank of hm[i] among distinct
+    non-SENTINEL values (RSENT where hm is SENTINEL); lut[r] = the u64
+    value of rank r (SENTINEL-padded).
+    """
+    n = hm.shape[0]
+    perm = jnp.argsort(hm)
+    sv = hm[perm]
+    prev = jnp.concatenate([sv[:1], sv[:-1]])
+    newv = (sv != prev) | (jnp.arange(n) == 0)
+    newv &= sv != SENTINEL
+    rank_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
+    rank_sorted = jnp.where(sv == SENTINEL, RSENT, rank_sorted)
+    ranks = jnp.zeros(n, jnp.int32).at[perm].set(rank_sorted)
+    # scatter unique values to their rank slot; non-new rows target the
+    # spare slot n (sliced away) so they can never clobber a real rank
+    lut = jnp.full(n + 1, SENTINEL, dtype=jnp.uint64).at[
+        jnp.where(newv, rank_sorted, n)].set(
+        jnp.where(newv, sv, SENTINEL))[:n]
+    return ranks, lut
+
+
+# fixed theta-chunk row count => one XLA shape per (s, s_b)
+THETA_CHUNK_ROWS_TPU = 2048
+THETA_CHUNK_ROWS_CPU = 64
+
+
+def _theta_chunk_rows(s: int, s_b: int) -> int:
+    try:
+        cpu = jax.devices()[0].platform == "cpu"
+    except Exception:
+        cpu = True
+    rows = THETA_CHUNK_ROWS_CPU if cpu else THETA_CHUNK_ROWS_TPU
+    budget = _default_chunk_bytes()
+    per_row = s_b * max(s, 1) * 4
+    while rows > 8 and rows * per_row > budget:
+        rows //= 2
+    return rows
+
+
+def theta_scan_ranks(
+    rank_list: Sequence[np.ndarray],
     s: int,
     window_span: int,
-    block_chunk_bytes: int | None = None,
 ) -> List[np.ndarray]:
-    """theta(W) for every window of every contig, one device pipeline.
+    """theta (as int32 ranks) for every window of every contig.
 
     Args:
-      contigs: list of (hashes u64, valid bool) per contig.
-      s: sketch size.
-      window_span: S_B = windowSize - k + 1 (k-mer positions per window).
+      rank_list: per contig, (n_k,) int32 dense hash ranks with RSENT at
+        invalid positions (see `_rank_reduce`).
 
     Returns:
-      list of (n_w_i,) uint64 theta arrays (n_w_i = n_k_i - S_B + 1, may
-      be empty); SENTINEL where a window holds < s distinct valid hashes.
+      per contig, (n_w,) int32 theta ranks (RSENT = "window holds < s
+      distinct valid hashes"); empty where n_w <= 0.
+
+    Host<->device traffic: the block matrices are PUT (cheap, high
+    bandwidth) and only the int32 theta ranks are fetched — on tunneled
+    TPU backends device->host gets are the expensive direction.
     """
-    if block_chunk_bytes is None:
-        block_chunk_bytes = _default_chunk_bytes()
     s_b = int(window_span)
-
-    # ---- global rank reduction (host): u64 hashes -> dense int32 ranks
-    masked = [np.where(v, h, SENTINEL) for h, v in contigs
-              if len(h) - s_b + 1 > 0]
-    if not masked:
-        return [np.empty(0, np.uint64) for _ in contigs]
-    uniq = np.unique(np.concatenate(masked))
-    if len(uniq) and uniq[-1] == SENTINEL:
-        uniq = uniq[:-1]
-    assert len(uniq) < np.iinfo(np.int32).max
-
-    # ---- block decomposition across ALL contigs
     cur_rows, nxt_rows, spans = [], [], []
     row0 = 0
-    for h, v in contigs:
-        n_k = len(h)
+    for r in rank_list:
+        n_k = len(r)
         n_w = n_k - s_b + 1
         if n_w <= 0:
             spans.append(None)
             continue
-        hm = np.where(v, h, SENTINEL)
-        sent = hm == SENTINEL
-        r = np.searchsorted(uniq, hm)
-        r[sent] = RSENT
-        r = r.astype(np.int32)
         n_blocks = -(-n_k // s_b)
         pad = n_blocks * s_b - n_k
         if pad:
@@ -197,31 +223,76 @@ def window_thresholds_batch(
         spans.append((row0, n_blocks, n_w))
         row0 += n_blocks
 
+    out: List[np.ndarray] = []
+    if not cur_rows:
+        return [np.empty(0, np.int32) for _ in spans]
     cur = np.concatenate(cur_rows, axis=0)
     nxt = np.concatenate(nxt_rows, axis=0)
     n_total = cur.shape[0]
 
-    # ---- device scan, chunked by HBM budget
-    # live set per chunk: suf stack (S_B, C, s) i32 + in/out (C, S_B) i32
-    per_row = s_b * max(s, 1) * 4
-    chunk = max(1, block_chunk_bytes // per_row)
+    chunk = _theta_chunk_rows(s, s_b)
     theta_rank = np.empty((n_total, s_b), dtype=np.int32)
     for c0 in range(0, n_total, chunk):
         c1 = min(c0 + chunk, n_total)
+        cc, nn = cur[c0:c1], nxt[c0:c1]
+        if c1 - c0 < chunk:  # pad to the fixed shape (one compile)
+            padr = np.full((chunk - (c1 - c0), s_b), RSENT, np.int32)
+            cc = np.concatenate([cc, padr])
+            nn = np.concatenate([nn, padr])
         theta_rank[c0:c1] = np.asarray(_theta_chunk(
-            jnp.asarray(cur[c0:c1]), jnp.asarray(nxt[c0:c1]), s, s_b))
+            jnp.asarray(cc), jnp.asarray(nn), s, s_b))[: c1 - c0]
 
-    # ---- rank -> hash, split back per contig
-    lut = np.concatenate([uniq, [SENTINEL]])
-    out: List[np.ndarray] = []
     for sp in spans:
         if sp is None:
-            out.append(np.empty(0, np.uint64))
+            out.append(np.empty(0, np.int32))
             continue
-        row0, n_blocks, n_w = sp
-        tr = theta_rank[row0:row0 + n_blocks].reshape(-1)[:n_w]
-        out.append(lut[np.minimum(tr, len(uniq))])
+        r0, n_blocks, n_w = sp
+        out.append(theta_rank[r0:r0 + n_blocks].reshape(-1)[:n_w].copy())
     return out
+
+
+def rank_reduce_host(
+    contigs: Sequence[Tuple[np.ndarray, np.ndarray]],
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Host (numpy) rank reduction over all contigs.
+
+    Returns (per-contig int32 rank arrays with RSENT at invalid
+    positions, sorted unique u64 value LUT). Used by the host build path
+    and as the oracle for `_rank_reduce`.
+    """
+    masked = [np.where(v, h, SENTINEL) for h, v in contigs]
+    if not masked:
+        return [], np.empty(0, np.uint64)
+    uniq = np.unique(np.concatenate(masked)) if masked else \
+        np.empty(0, np.uint64)
+    if len(uniq) and uniq[-1] == SENTINEL:
+        uniq = uniq[:-1]
+    assert len(uniq) < np.iinfo(np.int32).max
+    ranks = []
+    for hm in masked:
+        sent = hm == SENTINEL
+        r = np.searchsorted(uniq, hm)
+        r[sent] = RSENT
+        ranks.append(r.astype(np.int32))
+    return ranks, uniq
+
+
+def window_thresholds_batch(
+    contigs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    s: int,
+    window_span: int,
+    block_chunk_bytes: int | None = None,
+) -> List[np.ndarray]:
+    """theta(W) as u64 hashes for every window of every contig.
+
+    Compatibility wrapper over the rank pipeline (host rank reduction +
+    device theta scan): returns SENTINEL where a window holds < s
+    distinct valid hashes.
+    """
+    ranks, uniq = rank_reduce_host(contigs)
+    thetas = theta_scan_ranks(ranks, s, window_span)
+    lut = np.concatenate([uniq, [SENTINEL]])
+    return [lut[np.minimum(t, len(uniq))] for t in thetas]
 
 
 def window_thresholds(

@@ -489,12 +489,18 @@ class Mapper:
             allowedp = np.concatenate(
                 [allowed, np.zeros((Bp - B, allowed.shape[1]), bool)])
 
+        import jax
+        from ..kernels.mapdev import unpack_l1_meta
         out = l1_step(
             jnp.asarray(matp), dev["uniq_hashes"], dev["post_offsets"],
             dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
             dev["is_frequent"], dev["min_hits_table"], dev["cutoff_table"],
             jnp.asarray(allowedp), dev["ref_group"], cfg)
-        o = {k: np.asarray(v)[:B] for k, v in out.items()}
+        # ONE device->host transfer per batch: on tunneled TPU backends
+        # every fetch pays ~300ms of latency, so the kernel packs all
+        # outputs into a single i32 buffer.
+        o = unpack_l1_meta(
+            jax.device_get(out)[:B], cfg.c_cap, p.sketch_size)
 
         # complexity rescale for 'N'-padded fragments
         cx = np.array([
@@ -542,6 +548,10 @@ class Mapper:
             else:
                 host_l2_set.add((w[0], w[1]))
         loci_by = {}
+        from ..kernels.mapdev import unpack_l2_runs
+        # dispatch ALL chunks first (async), then fetch: device compute
+        # overlaps the serial ~300ms-latency fetches of earlier chunks
+        pending = []
         for T, todo in buckets.items():
             W_STEP = max(8, AREA // T)
             for w0 in range(0, len(todo), W_STEP):
@@ -561,25 +571,24 @@ class Mapper:
                     qh[r] = o["q_hash"][i]
                     qs[r] = o["q_strand"][i]
                     sqv[r] = o["s_q"][i]
-                shared, votes, wpos_a, next_wpos, t_main = l2_step(
-                    jnp.asarray(w_lo), jnp.asarray(w_mid),
-                    jnp.asarray(w_hi), jnp.asarray(w_seq),
-                    jnp.asarray(qh), jnp.asarray(qs), jnp.asarray(sqv),
-                    dev["mi_hash"], dev["mi_wpos"], dev["mi_wend"],
-                    dev["mi_strand"], dev["mi_seqid"],
-                    T, p.sketch_size)
-                shared = np.asarray(shared)
-                votes = np.asarray(votes)
-                wpos_a = np.asarray(wpos_a)
-                next_wpos = np.asarray(next_wpos)
-                t_main = np.asarray(t_main)
-                for r, (i, j, lo, mid, hi) in enumerate(chunk):
-                    tm = t_main[r]
-                    loci_by[(i, j)] = l2_mod.plateau_loci(
-                        shared[r][tm], votes[r][tm],
-                        wpos_a[r][tm].astype(np.int64),
-                        next_wpos[r][tm].astype(np.int64),
-                        int(o["cand_seq"][i, j]), p.seg_length, 0)
+                args = jax.device_put(
+                    (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
+                buf = l2_step(*args,
+                              dev["mi_hash"], dev["mi_wpos"],
+                              dev["mi_wend"], dev["mi_strand"],
+                              dev["mi_seqid"], T, p.sketch_size)
+                pending.append((chunk, buf))
+        for chunk, buf in pending:
+            n_runs, best, r_ovf, starts, ends, strands = \
+                unpack_l2_runs(jax.device_get(buf))
+            for r, (i, j, lo, mid, hi) in enumerate(chunk):
+                if r_ovf[r]:
+                    host_l2_set.add((i, j))
+                    continue
+                loci_by[(i, j)] = l2_mod.loci_from_runs(
+                    n_runs[r], best[r], starts[r], ends[r],
+                    strands[r], int(o["cand_seq"][i, j]),
+                    p.seg_length)
 
         # per-fragment row assembly with exact pruning semantics
         rows_by_frag = []
@@ -659,11 +668,26 @@ class Mapper:
         return out
 
     # ------------------------------------------------------------------
-    def run(self, query_files: Sequence[str], out: IO[str]) -> None:
+    def run(self, query_files: Sequence[str], out: IO[str],
+            progress: Optional[bool] = None) -> None:
         """Full mapQuery equivalent: stream files, map, write output."""
-        from ..io import for_each_seq_in_file
+        from ..io import for_each_seq_in_file, total_seq_stats
+        from ..progress import ProgressMeter
         p = self.p
         t0 = time.time()
+
+        if progress is None:
+            # default like the reference (always paints to stderr), but
+            # skip the meter when stderr is not a terminal — the sizing
+            # pre-scan costs a full file pass when no .fai exists
+            progress = sys.stderr.isatty()
+        meter = None
+        if progress:
+            # reference sizes its meter from the .fai / a pre-scan
+            # (computeMap.hpp:279-304)
+            _, total_bp = total_seq_stats(query_files)
+            meter = ProgressMeter(
+                total_bp, "[mashmap-tpu::map] mapped")
 
         pending: List[_Query] = []
         pending_frags = 0
@@ -674,6 +698,8 @@ class Mapper:
                 return
             for q, rows in self.map_queries(pending):
                 self._emit(q, rows, out)
+                if meter is not None:
+                    meter.increment(len(q.seq))
             pending = []
             pending_frags = 0
 
@@ -696,6 +722,8 @@ class Mapper:
                 self.total_seq_counter += 1
                 self.total_bp += qlen
         flush()
+        if meter is not None:
+            meter.finish()
 
         if p.filter_mode == FILTER_ONETOONE:
             self._finish_one_to_one(out)

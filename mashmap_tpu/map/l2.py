@@ -196,6 +196,34 @@ def l2_mapped_regions(
                         seg_length, window_len)
 
 
+def loci_from_runs(n_runs: int, best: int, starts, ends, strands,
+                   seq_id: int, seg_length: int) -> List[L2Locus]:
+    """Merge device-extracted plateau runs into loci.
+
+    Host half of the split plateau walk: kernels/mapdev.py extracts the
+    (<= L2_RUN_CAP) maximal shared==best runs on device; this merges
+    runs closer than segLength (computeMap.hpp:1430-1446 semantics,
+    window_len == 0 path).
+    """
+    out: List[L2Locus] = []
+    for i in range(int(n_runs)):
+        opt_start, opt_end = int(starts[i]), int(ends[i])
+        if out and out[-1].optimal_end + seg_length >= opt_start:
+            out[-1].optimal_end = opt_end
+            out[-1].mean_optimal_pos = _c_div2(
+                out[-1].optimal_start + opt_end)
+        else:
+            out.append(L2Locus(
+                seq_id=seq_id,
+                mean_optimal_pos=_c_div2(opt_start + opt_end),
+                optimal_start=opt_start,
+                optimal_end=opt_end,
+                shared_sketch_size=int(best),
+                strand=int(strands[i]),
+            ))
+    return out
+
+
 def plateau_loci(shared, votes, wpos_main, next_wpos, seq_id: int,
                  seg_length: int, window_len: int) -> List[L2Locus]:
     """Optimal-plateau bookkeeping (computeMap.hpp:1373-1450).

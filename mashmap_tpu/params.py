@@ -90,8 +90,8 @@ class Parameters:
     use_device_pipeline: bool = True
     l1_postings_cap: int = 1024     # max gathered intervals per fragment
     l1_candidates_cap: int = 16     # max L1 candidate regions per fragment
-    l2_entries_cap: int = 2048      # max interval entries per L2 candidate
-    l2_batch: int = 256             # L2 work items per device call
+    l2_entries_cap: int = 2048      # (x l2_batch = device area per call)
+    l2_batch: int = 512             # L2 work items per device call
 
     def finalize(self) -> "Parameters":
         """Fill derived fields. Mirrors parseCmdArgs.hpp defaulting rules."""
