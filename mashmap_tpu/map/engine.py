@@ -417,7 +417,9 @@ class Mapper:
     def _device_tables(self):
         if getattr(self, "_dev", None) is not None:
             return self._dev
+        import jax
         import jax.numpy as jnp
+        from ..parallel import mesh as mesh_mod
         p = self.p
         mh_table = np.ones(p.sketch_size + 1, np.int32)
         for sq in range(1, p.sketch_size + 1):
@@ -425,24 +427,49 @@ class Mapper:
         ct = (self.cutoff_table.astype(np.int32)
               if self.cutoff_table is not None else np.ones(2, np.int32))
         idx = self.idx
+
+        # multi-device: pure data parallelism over fragments / L2 work
+        # items, index replicated on every chip (SURVEY.md section 2.3;
+        # the reference's pthread pool recast as SPMD)
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            self._mesh = mesh_mod.make_mesh()
+            self._shard_data = mesh_mod.shard_fragments(self._mesh)
+            rep = mesh_mod.replicate(self._mesh)
+
+            def put(x):
+                return jax.device_put(jnp.asarray(x), rep)
+        else:
+            self._mesh = None
+            self._shard_data = None
+            put = jnp.asarray
+        self._n_dev = n_dev
+
         self._dev = {
-            "uniq_hashes": jnp.asarray(idx.uniq_hashes),
-            "post_offsets": jnp.asarray(idx.post_offsets.astype(np.int32)),
-            "post_seqid": jnp.asarray(idx.post_seqid),
-            "post_wpos": jnp.asarray(idx.post_wpos),
-            "post_wend": jnp.asarray(idx.post_wend),
-            "is_frequent": jnp.asarray(idx.is_frequent),
-            "mi_hash": jnp.asarray(idx.mi_hash),
-            "mi_wpos": jnp.asarray(idx.mi_wpos),
-            "mi_wend": jnp.asarray(idx.mi_wend),
-            "mi_strand": jnp.asarray(idx.mi_strand),
-            "mi_seqid": jnp.asarray(idx.mi_seqid),
-            "min_hits_table": jnp.asarray(mh_table),
-            "cutoff_table": jnp.asarray(ct),
-            "ref_group": jnp.asarray(
-                self.ref_groups.astype(np.int32)),
+            "uniq_hashes": put(idx.uniq_hashes),
+            "post_offsets": put(idx.post_offsets.astype(np.int32)),
+            "post_seqid": put(idx.post_seqid),
+            "post_wpos": put(idx.post_wpos),
+            "post_wend": put(idx.post_wend),
+            "is_frequent": put(idx.is_frequent),
+            "mi_hash": put(idx.mi_hash),
+            "mi_wpos": put(idx.mi_wpos),
+            "mi_wend": put(idx.mi_wend),
+            "mi_strand": put(idx.mi_strand),
+            "mi_seqid": put(idx.mi_seqid),
+            "min_hits_table": put(mh_table),
+            "cutoff_table": put(ct),
+            "ref_group": put(self.ref_groups.astype(np.int32)),
         }
         return self._dev
+
+    def _put_batch(self, x):
+        """Place a batch-axis array: sharded over the mesh if present."""
+        import jax
+        import jax.numpy as jnp
+        if getattr(self, "_shard_data", None) is not None:
+            return jax.device_put(np.asarray(x), self._shard_data)
+        return jnp.asarray(x)
 
     def _run_fragments_device(self, queries, frags):
         """Batched device pipeline: l1_step + l2_step kernels.
@@ -479,8 +506,11 @@ class Mapper:
 
         # pad batch to a fixed floor (then powers of two) so the l1_step
         # XLA shape — and its multi-second compile — is reused across
-        # batches and processes
+        # batches and processes; multi-device meshes also need the batch
+        # divisible by the device count
         Bp = max(p.batch_fragments, 1 << (B - 1).bit_length())
+        if Bp % self._n_dev:
+            Bp += self._n_dev - Bp % self._n_dev
         matp = mat
         allowedp = allowed
         if Bp > B:
@@ -492,10 +522,11 @@ class Mapper:
         import jax
         from ..kernels.mapdev import unpack_l1_meta
         out = l1_step(
-            jnp.asarray(matp), dev["uniq_hashes"], dev["post_offsets"],
+            self._put_batch(matp), dev["uniq_hashes"],
+            dev["post_offsets"],
             dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
             dev["is_frequent"], dev["min_hits_table"], dev["cutoff_table"],
-            jnp.asarray(allowedp), dev["ref_group"], cfg)
+            self._put_batch(allowedp), dev["ref_group"], cfg)
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
@@ -554,6 +585,8 @@ class Mapper:
         pending = []
         for T, todo in buckets.items():
             W_STEP = max(8, AREA // T)
+            if W_STEP % self._n_dev:
+                W_STEP += self._n_dev - W_STEP % self._n_dev
             for w0 in range(0, len(todo), W_STEP):
                 chunk = todo[w0:w0 + W_STEP]
                 Wp = W_STEP
@@ -571,8 +604,12 @@ class Mapper:
                     qh[r] = o["q_hash"][i]
                     qs[r] = o["q_strand"][i]
                     sqv[r] = o["s_q"][i]
-                args = jax.device_put(
-                    (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
+                if self._shard_data is not None:
+                    args = tuple(self._put_batch(a) for a in (
+                        w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
+                else:
+                    args = jax.device_put(
+                        (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
                 buf = l2_step(*args,
                               dev["mi_hash"], dev["mi_wpos"],
                               dev["mi_wend"], dev["mi_strand"],
