@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 from .params import Parameters, FIXED, FILTER_MAP, FILTER_NONE, \
@@ -122,6 +123,12 @@ def args_to_params(a) -> Parameters:
     elif a.queryList:
         queries = [line.strip() for line in open(a.queryList)
                    if line.strip()]
+
+    # up-front input validation (validateInputFile, parseCmdArgs.hpp:165-178)
+    for f in refs + queries:
+        if not os.path.isfile(f) or not os.access(f, os.R_OK):
+            print(f"ERROR: Could not open {f}", file=sys.stderr)
+            sys.exit(1)
 
     # validation mirrors parseCmdArgs.hpp:455-581
     if a.segLength < 100:

@@ -37,12 +37,23 @@ def for_each_seq_in_file(
 
     Non-kept records yield (name, "") — mirroring seqiter.hpp:84-96 so that
     downstream sequence counters match the reference exactly.
+
+    Uses the native C++ parser (mashmap_tpu.native, the kseq/gzstream
+    equivalent — sequences arrive pre-sanitized, which every caller
+    applies idempotently anyway) when it is buildable, else this pure
+    Python implementation.
     """
     keep_seq = keep_seq or set()
 
     def _keep(name: str) -> bool:
         return ((not keep_prefix or name.startswith(keep_prefix))
                 and (not keep_seq or name in keep_seq))
+
+    from .. import native
+    if native.native_available():
+        for name, seq in native.read_records(filename):
+            yield name, (seq if _keep(name) else "")
+        return
 
     with _open_text(filename) as fh:
         first = fh.readline()
