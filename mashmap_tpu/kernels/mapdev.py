@@ -265,7 +265,7 @@ def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
 def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
             mi_hash, mi_wpos, mi_wend, mi_strand, mi_seqid,
             t_cap: int, s: int):
-    """Shared-sketch trajectories for a batch of L1 candidates.
+    """Optimal-plateau runs for a batch of L1 candidates.
 
     Args:
       w_lo/w_mid/w_hi: (W,) int32 interval-table slice bounds per work item
@@ -274,24 +274,30 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
       q_hash/q_strand: (W, s) the owning fragment's compacted sketch.
       mi_*: the global interval table (device-resident).
 
-    Returns (shared, votes, wpos_main, next_wpos, t_valid): (W, t_cap)
-    arrays; the plateau walk over them happens on the host.
+    Returns a packed (W, 3 + 3*L2_RUN_CAP) i32 buffer (see
+    unpack_l2_runs); the <= L-run merge happens on the host
+    (map/l2.py loci_from_runs).
 
-    Algorithm: at trajectory step t (the insertion of interval entry t,
-    entries sorted by wpos), the active set is
-        {i : i <= t  and  wend_i > wpos_t}.
-    Per-sketch-bucket active counts therefore decompose into
-        inserted_by_t[bucket]  -  expired_by_t[bucket],
-    where inserted_by_t is a cumsum over entries in index order and
-    expired_by_t is a cumsum over entries in wend order, evaluated at
-    position searchsorted(wend_sorted, wpos_t, 'right'). Everything is
-    cumsum / small-sort / gather — O(T * s) work per work item (the
-    previous einsum form was O(T^2 * s), quadratic in the slice length).
-    The pivot rule (rank <= s_q, SlideMapper slidingMap.hpp:158,204)
-    is then a cumsum over the bucket axis.
+    TPU formulation — event-sorted signed cumsums, ZERO wide gathers
+    (gathers/scatters are pathologically slow on some TPU stacks):
+
+    The SlideMapper trajectory (slidingMap.hpp:28-212) evaluates, after
+    inserting interval entry t (entries ascend by wpos),
+        active(t) = {i : i <= t and wend_i > wpos_t}.
+    Insertions and expiries are merged into one 2T event stream with a
+    single multi-operand sort (key = window position; expiries apply
+    before the snapshots of the same position; insertions tie-break by
+    entry index). A signed one-hot cumsum over the event axis yields
+    per-sketch-bucket active counts at every event; the pivot rule
+    (rank_b = b+1 + #active non-matching below b <= s_q,
+    slidingMap.hpp:158,204) is a cumsum over the bucket axis. Snapshots
+    are read at main-entry insertion events. Plateau runs of
+    shared == best are then extracted per row (computeMap.hpp:1373-1450)
+    treating non-snapshot events as transparent.
     """
     W = w_lo.shape[0]
     T = t_cap
+    E = 2 * T
     M_len = mi_hash.shape[0]
     BIG = jnp.int32(np.int32(2 ** 31 - 1))
 
@@ -301,83 +307,103 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
     hash_a = jnp.where(e_valid, mi_hash[gidx], UMAX)
     wend_a = jnp.where(e_valid, mi_wend[gidx], BIG)
     strand_a = jnp.where(e_valid, mi_strand[gidx].astype(jnp.int32), 0)
-    wpos_a = jnp.where(e_valid, mi_wpos[gidx], 0)
+    wpos_a = jnp.where(e_valid, mi_wpos[gidx], BIG)
 
     n_setup = (w_mid - w_lo)[:, None]
     t_is_main = (i_idx >= n_setup) & e_valid
-    wpos_t = wpos_a  # at main steps, wpos of the inserted entry
 
-    # bucket of each interval hash within the fragment sketch
-    b = jax.vmap(jnp.searchsorted)(q_hash, hash_a)        # (W, T)
-    inb = b < s
-    bq = jnp.minimum(b, s - 1)
-    match = inb & (jnp.take_along_axis(q_hash, bq, axis=1) == hash_a) \
-        & e_valid
-    non = inb & ~match & e_valid
-
-    # one-hot bucket contributions (s+1 lanes; lane s = discard)
-    oh_m = jax.nn.one_hot(jnp.where(match, bq, s), s + 1, dtype=jnp.int32)
-    oh_n = jax.nn.one_hot(jnp.where(non, bq, s), s + 1, dtype=jnp.int32)
-    oh_v = oh_m * strand_a[:, :, None]
-
-    # inserted-by-t cumulative bucket counts (index order == wpos order)
-    ins_m = jnp.cumsum(oh_m, axis=1)
-    ins_n = jnp.cumsum(oh_n, axis=1)
-    ins_v = jnp.cumsum(oh_v, axis=1)
-
-    # expired-by-t: cumsum in wend order, evaluated at
-    # pos = #entries with wend <= wpos_t
-    eo = jnp.argsort(wend_a, axis=1)                      # (W, T)
-    wend_sorted = jnp.take_along_axis(wend_a, eo, axis=1)
-    exp_m = jnp.cumsum(jnp.take_along_axis(
-        oh_m, eo[:, :, None], axis=1), axis=1)
-    exp_n = jnp.cumsum(jnp.take_along_axis(
-        oh_n, eo[:, :, None], axis=1), axis=1)
-    exp_v = jnp.cumsum(jnp.take_along_axis(
-        oh_v, eo[:, :, None], axis=1), axis=1)
-    pos = jax.vmap(
-        lambda ws, wt: jnp.searchsorted(ws, wt, side="right"))(
-            wend_sorted, wpos_t)                          # (W, T)
-    posc = jnp.maximum(pos, 1) - 1
-    any_exp = (pos > 0)[:, :, None]
-    A = ins_m - jnp.where(any_exp, jnp.take_along_axis(
-        exp_m, posc[:, :, None], axis=1), 0)
-    Cn = ins_n - jnp.where(any_exp, jnp.take_along_axis(
-        exp_n, posc[:, :, None], axis=1), 0)
-    V = ins_v - jnp.where(any_exp, jnp.take_along_axis(
-        exp_v, posc[:, :, None], axis=1), 0)
-
-    A, Cn, V = A[..., :s], Cn[..., :s], V[..., :s]
-
-    # pivot bound is the fragment's post-filter sketch size s_q
-    # (SlideMapper pivRank <= Q.sketchSize, slidingMap.hpp:158,204)
-    rank = (jnp.arange(1, s + 1, dtype=jnp.int32)[None, None, :]
-            + jnp.cumsum(Cn, axis=-1))
-    Pmask = rank <= s_q[:, None, None]
-    shared = jnp.sum(A * Pmask, axis=-1)
-    votes = jnp.sum(V * Pmask * q_strand[:, None, :s].astype(jnp.int32),
-                    axis=-1)
-
+    # next-entry wpos (neighbor read, computeMap.hpp:1386-1390)
     nxt_ok = ((w_lo[:, None] + i_idx + 1) < M_len)
     gnext = jnp.minimum(w_lo[:, None] + i_idx + 1, max(M_len - 1, 0))
     same_seq = nxt_ok & (mi_seqid[gnext] == w_seq[:, None])
-    next_wpos = jnp.where(same_seq, mi_wpos[gnext], wpos_a)
+    next_wpos = jnp.where(same_seq, mi_wpos[gnext],
+                          jnp.where(e_valid, mi_wpos[gidx], BIG))
 
-    # ---- optimal-plateau run extraction ON DEVICE (plateau_loci's run
-    # phase, computeMap.hpp:1373-1450; the <= L-run merge happens on the
-    # host). Fetching full trajectories costs 20T bytes/item over the
-    # tunnel; runs cost ~3L.
-    main = t_is_main
-    sh_m = jnp.where(main, shared, -1)
-    best = jnp.maximum(jnp.max(sh_m, axis=1), 1)          # (W,)
-    eq = main & (shared == best[:, None])
-    prev_eq = jnp.concatenate(
-        [jnp.zeros((W, 1), bool), eq[:, :-1]], axis=1)
-    run_start = eq & ~prev_eq
+    # sketch bucket of each entry: compare-all against the (W, s) sorted
+    # sketch (s is small; dense compares beat binary-search gathers)
+    lt = q_hash[:, None, :] < hash_a[:, :, None]          # (W, T, s)
+    b = jnp.sum(lt, axis=-1).astype(jnp.int32)            # (W, T)
+    eqh = jnp.any(q_hash[:, None, :] == hash_a[:, :, None], axis=-1)
+    inb = b < s
+    match = eqh & e_valid
+    non = inb & ~eqh & e_valid
+
+    # ---- event stream: 2T events = T insertions + T expiries
+    # composite key: (window position) * 2 + type, then entry index.
+    # type 0 = expiry (applies before same-position snapshots).
+    span = jnp.int64(T + 1)
+    key_ins = ((wpos_a.astype(jnp.int64) * 2 + 1) * span
+               + i_idx.astype(jnp.int64))
+    key_exp = (wend_a.astype(jnp.int64) * 2) * span + i_idx.astype(
+        jnp.int64)
+    key_ins = jnp.where(e_valid, key_ins, KEY_PAD)
+    key_exp = jnp.where(e_valid, key_exp, KEY_PAD)
+
+    # packed payload: bucket(17b) | match(1) | non(1) | main(1) |
+    # strand+1(2) | sign(1: 1=insert)
+    def pack(sign_insert):
+        pm = jnp.where(sign_insert, t_is_main, False)
+        return (b << 7) | (match.astype(jnp.int32) << 6) \
+            | (non.astype(jnp.int32) << 5) | (pm.astype(jnp.int32) << 4) \
+            | ((strand_a + 1) << 2) \
+            | jnp.where(sign_insert, 1, 0)
+
+    keys = jnp.concatenate([key_ins, key_exp], axis=1)      # (W, 2T)
+    pay = jnp.concatenate([pack(True), pack(False)], axis=1)
+    wp_pay = jnp.concatenate([wpos_a, wpos_a], axis=1)
+    nw_pay = jnp.concatenate([next_wpos, next_wpos], axis=1)
+    keys, pay, wp_pay, nw_pay = jax.lax.sort(
+        (keys, pay, wp_pay, nw_pay), dimension=-1, num_keys=1)
+
+    ev_live = keys != KEY_PAD
+    ev_b = jnp.where(ev_live, pay >> 7, s)
+    ev_match = ev_live & (((pay >> 6) & 1) == 1)
+    ev_non = ev_live & (((pay >> 5) & 1) == 1)
+    ev_main = ev_live & (((pay >> 4) & 1) == 1)
+    ev_strand = jnp.where(ev_live, ((pay >> 2) & 3) - 1, 0)
+    sign = jnp.where(ev_live, (pay & 1) * 2 - 1, 0)         # +1/-1
+
+    # ---- signed one-hot cumsums over the event axis (bucket-dense)
+    lane = jnp.arange(s, dtype=jnp.int32)[None, None, :]    # (1, 1, s)
+    oh = (ev_b[:, :, None] == lane)                         # (W, 2T, s)
+    sgn = sign[:, :, None]
+    cnt_m = jnp.cumsum(
+        jnp.where(oh & ev_match[:, :, None], sgn, 0).astype(jnp.int32),
+        axis=1)
+    cnt_n = jnp.cumsum(
+        jnp.where(oh & ev_non[:, :, None], sgn, 0).astype(jnp.int32),
+        axis=1)
+    cnt_v = jnp.cumsum(
+        jnp.where(oh & ev_match[:, :, None],
+                  sgn * ev_strand[:, :, None], 0).astype(jnp.int32),
+        axis=1)
+
+    # pivot rule over the bucket axis
+    rank = (jnp.arange(1, s + 1, dtype=jnp.int32)[None, None, :]
+            + jnp.cumsum(cnt_n, axis=-1))
+    Pmask = rank <= s_q[:, None, None]
+    shared = jnp.sum(cnt_m * Pmask, axis=-1)                # (W, 2T)
+    votes = jnp.sum(cnt_v * Pmask
+                    * q_strand[:, None, :s].astype(jnp.int32), axis=-1)
+
+    # ---- optimal-plateau runs over snapshot (main-insert) events
+    # (plateau_loci run phase; non-snapshot events are transparent)
+    sh_m = jnp.where(ev_main, shared, -1)
+    best = jnp.maximum(jnp.max(sh_m, axis=1), 1)            # (W,)
+    eq = ev_main & (shared == best[:, None])
+
+    m_id = jnp.cumsum(ev_main.astype(jnp.int32), axis=1)    # 1-based
+    last_eq = jax.lax.cummax(
+        jnp.where(eq, m_id, 0), axis=1)
+    prev_last_eq = jnp.concatenate(
+        [jnp.zeros((W, 1), last_eq.dtype), last_eq[:, :-1]], axis=1)
+    # continuation iff the immediately preceding main snapshot (m_id - 1,
+    # which must exist) was also eq
+    run_start = eq & ~((m_id > 1) & (prev_last_eq == m_id - 1))
     rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
 
     L = L2_RUN_CAP
-    col = jnp.arange(T, dtype=jnp.int32)
+    col = jnp.arange(E, dtype=jnp.int32)
 
     def row_runs(eqr, ridr, wposr):
         tgt = jnp.where(eqr & (ridr < L), ridr, L)
@@ -387,15 +413,21 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
             col)[:L]
         return start_w, tb
 
-    start_w, tb = jax.vmap(row_runs)(eq, rid, wpos_a)      # (W, L)
-    n_runs = jnp.max(jnp.where(eq, rid, -1), axis=1) + 1   # (W,)
+    start_w, tb = jax.vmap(row_runs)(eq, rid, wp_pay)        # (W, L)
+    n_runs = jnp.max(jnp.where(eq, rid, -1), axis=1) + 1     # (W,)
     run_overflow = n_runs > L
 
-    tbc = jnp.clip(tb, 0, T - 1)
-    nxt_col = jnp.minimum(tbc + 1, T - 1)
-    use_next = jnp.take_along_axis(e_valid, nxt_col, axis=1)
-    end_col = jnp.where(use_next, nxt_col, tbc)
-    opt_end = jnp.take_along_axis(next_wpos, end_col, axis=1)
+    # opt_end of a run ending at snapshot tb: next_wpos of the NEXT
+    # snapshot if one exists, else of tb itself (host plateau_loci
+    # semantics with main-only indexing). next-main column per event:
+    nm = jax.lax.cummin(
+        jnp.where(ev_main, col, E)[:, ::-1], axis=1)[:, ::-1]
+    nm_after = jnp.concatenate(
+        [nm[:, 1:], jnp.full((W, 1), E, nm.dtype)], axis=1)
+    tbc = jnp.clip(tb, 0, E - 1)
+    nxt_main_col = jnp.take_along_axis(nm_after, tbc, axis=1)
+    end_col = jnp.where(nxt_main_col < E, nxt_main_col, tbc)
+    opt_end = jnp.take_along_axis(nw_pay, end_col, axis=1)
     vote_tb = jnp.take_along_axis(votes, tbc, axis=1)
 
     # ONE (W, 3 + 3L) i32 buffer -> one device->host fetch per chunk

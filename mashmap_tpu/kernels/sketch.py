@@ -55,24 +55,38 @@ def sketch_fragments(frags: jax.Array, k: int, s: int):
     valid = ~palin & ~has_n
     key = jnp.where(valid, hashes, UMAX)
 
-    order = jnp.argsort(key, axis=-1, stable=True)
-    skey = jnp.take_along_axis(key, order, axis=-1)
-    sstr = jnp.take_along_axis(strand.astype(jnp.int32), order, axis=-1)
+    # fused multi-operand sort (key + strand payload): no argsort-gather
+    # (wide gathers/scatters are pathologically slow on some TPU stacks)
+    skey, sstr = jax.lax.sort(
+        (key, strand.astype(jnp.int32)), dimension=-1, num_keys=1)
 
     newh = jnp.concatenate(
         [jnp.ones((B, 1), bool), skey[:, 1:] != skey[:, :-1]], axis=-1)
     newh = newh & (skey != UMAX)
     rank = jnp.cumsum(newh.astype(jnp.int32), axis=-1) - 1  # distinct rank
-    keep = (skey != UMAX) & (rank < s)
-    slot = jnp.where(keep, rank, s)  # s = spill slot
 
-    def per_row(skey_r, sstr_r, slot_r):
-        h = jnp.full((s + 1,), UMAX, dtype=jnp.uint64).at[slot_r].min(skey_r)
-        v = jnp.zeros((s + 1,), jnp.int32).at[slot_r].add(
-            jnp.where(slot_r < s, sstr_r, 0))
-        return h[:s], v[:s]
+    # index of the r-th distinct hash: rank is nondecreasing, so a
+    # (B, s)-sized binary search replaces a full-width scatter
+    r_idx = jax.vmap(
+        lambda rr: jnp.searchsorted(rr, jnp.arange(s), side="left"))(rank)
+    r_idx_c = jnp.minimum(r_idx, L - k)
+    out_h = jnp.take_along_axis(skey, r_idx_c, axis=-1)
+    n_distinct = rank[:, -1] + 1
+    got = jnp.arange(s)[None, :] < n_distinct[:, None]
+    out_h = jnp.where(got, out_h, UMAX)
 
-    out_h, votes = jax.vmap(per_row)(skey, sstr, slot)
+    # per-distinct strand vote: segment sum via cumsum difference
+    # between consecutive group starts
+    cs = jnp.cumsum(jnp.where(skey != UMAX, sstr, 0), axis=-1)
+    nxt_idx = jax.vmap(
+        lambda rr: jnp.searchsorted(rr, jnp.arange(1, s + 1),
+                                    side="left"))(rank)
+    cs_ext = jnp.concatenate([jnp.zeros((B, 1), cs.dtype), cs], axis=-1)
+    # group r spans [r_idx, nxt_idx): vote = cs[nxt-1] - cs[r_idx - 1]
+    votes = (jnp.take_along_axis(cs_ext, jnp.minimum(nxt_idx, L - k + 1),
+                                 axis=-1)
+             - jnp.take_along_axis(cs_ext, r_idx_c, axis=-1))
+    votes = jnp.where(got, votes, 0)
     out_strand = jnp.where(
         out_h == UMAX, jnp.int8(0),
         jnp.where(votes > 0, jnp.int8(1),

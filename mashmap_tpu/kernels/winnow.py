@@ -131,13 +131,18 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
 
 
 def _default_chunk_bytes() -> int:
-    """Pick the suffix-sketch materialization budget by platform."""
+    """Pick the suffix-sketch materialization budget by platform.
+
+    The scan is sequential in the window offset, so fewer/wider chunks
+    amortize the 2*S_B serial steps over more block rows; the budget
+    bounds the (S_B, C, s) suffix-sketch stack in HBM.
+    """
     try:
         if jax.devices()[0].platform == "cpu":
             return 256 << 20
     except Exception:
         pass
-    return 2 << 30  # TPU HBM: bigger chunks => fewer kernel launches
+    return 6 << 30  # TPU (16G HBM): bigger chunks => fewer serial scans
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -231,6 +236,9 @@ def theta_scan_ranks(
     n_total = cur.shape[0]
 
     chunk = _theta_chunk_rows(s, s_b)
+    # don't pad a small genome up to the full chunk: clamp to the next
+    # power of two above the actual block count (still few XLA shapes)
+    chunk = min(chunk, 1 << max(3, (n_total - 1).bit_length()))
     theta_rank = np.empty((n_total, s_b), dtype=np.int32)
     for c0 in range(0, n_total, chunk):
         c1 = min(c0 + chunk, n_total)

@@ -564,8 +564,9 @@ class Mapper:
                 work.append((i, j, lo, mid, hi))
 
         # bucket work items by interval-slice length; W*T stays constant
-        # so device memory and compile shapes are bounded (3 shapes total)
-        AREA = p.l2_batch * p.l2_entries_cap
+        # so device memory and compile shapes are bounded (3 shapes
+        # total; the kernel's event axis is 2T, hence the halving)
+        AREA = p.l2_batch * p.l2_entries_cap // 2
         T_BUCKETS = (512, 2048, 8192)
         t_max = T_BUCKETS[-1]
         buckets: dict[int, list] = {t: [] for t in T_BUCKETS}
