@@ -215,6 +215,52 @@ def _theta_chunk_rows(s: int, s_b: int) -> int:
     return rows
 
 
+def _pallas_theta_usable() -> bool:
+    """Probe (once per machine/config) whether the Pallas theta kernel
+    compiles on this backend.
+
+    Mosaic kernels need a working TPU compile service; some tunneled
+    backends can't provide one (e.g. a misconfigured remote
+    tpu_compile_helper). The probe result is cached on disk so later
+    processes skip it.
+    """
+    import os
+    mode = os.environ.get("MASHMAP_TPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")), "mashmap_tpu")
+    marker = os.path.join(cache_dir, "pallas_theta_probe_v1")
+    if mode == "auto" and os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip() == "ok"
+    ok = False
+    try:
+        from .winnow_pallas import theta_chunk_pallas, C_T
+        import numpy as _np
+        cur = jnp.zeros((C_T, 8), jnp.int32)
+        _np.asarray(theta_chunk_pallas(cur, cur, 4, 8))
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any failure => fallback
+        import logging
+        logging.getLogger("mashmap_tpu.index").info(
+            "pallas theta kernel unavailable (%s); using XLA scan",
+            type(e).__name__)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok" if ok else "no")
+    except Exception:
+        pass
+    return ok
+
+
 def theta_scan_ranks(
     rank_list: Sequence[np.ndarray],
     s: int,
@@ -262,10 +308,20 @@ def theta_scan_ranks(
     nxt = np.concatenate(nxt_rows, axis=0)
     n_total = cur.shape[0]
 
+    use_pallas = _pallas_theta_usable()
+    if use_pallas:
+        from .winnow_pallas import theta_chunk_pallas, C_T
+        chunk_fn = functools.partial(theta_chunk_pallas, s=s, s_b=s_b)
+        row_mult = C_T
+    else:
+        chunk_fn = functools.partial(_theta_chunk, s=s, s_b=s_b)
+        row_mult = 8
+
     chunk = _theta_chunk_rows(s, s_b)
     # don't pad a small genome up to the full chunk: clamp to the next
     # power of two above the actual block count (still few XLA shapes)
     chunk = min(chunk, 1 << max(3, (n_total - 1).bit_length()))
+    chunk = max(row_mult, chunk - chunk % row_mult)
     theta_rank = np.empty((n_total, s_b), dtype=np.int32)
     for c0 in range(0, n_total, chunk):
         c1 = min(c0 + chunk, n_total)
@@ -274,8 +330,8 @@ def theta_scan_ranks(
             padr = np.full((chunk - (c1 - c0), s_b), RSENT, np.int32)
             cc = np.concatenate([cc, padr])
             nn = np.concatenate([nn, padr])
-        theta_rank[c0:c1] = np.asarray(_theta_chunk(
-            jnp.asarray(cc), jnp.asarray(nn), s, s_b))[: c1 - c0]
+        theta_rank[c0:c1] = np.asarray(chunk_fn(
+            jnp.asarray(cc), jnp.asarray(nn)))[: c1 - c0]
 
     for sp in spans:
         if sp is None:
