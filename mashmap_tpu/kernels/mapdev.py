@@ -98,12 +98,20 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     total = cum[:, -1]
     overflow_l1 = total > P
 
-    # gather up to P intervals per row
-    j = jnp.arange(P)[None, :]                            # (1, P)
-    slot = jax.vmap(
-        lambda c, jj: jnp.searchsorted(c, jj, side="right"))(
-            cum, jnp.broadcast_to(j, (B, P)))
-    slot = jnp.minimum(slot, s - 1)
+    # gather up to P intervals per row. slot[j] = which sketch hash owns
+    # output position j = searchsorted(cum, j, 'right'); computed as a
+    # small scatter-max of range starts + a cummax fill (binary-search
+    # gathers are slow on TPU).
+    j = jnp.arange(P, dtype=jnp.int32)[None, :]           # (1, P)
+
+    def slot_row(base_r, cnt_r):
+        z = jnp.full((P + 1,), -1, jnp.int32).at[
+            jnp.minimum(jnp.where(cnt_r > 0, base_r, P), P)].max(
+            jnp.arange(s, dtype=jnp.int32))
+        return jax.lax.cummax(z[:P])
+
+    slot = jax.vmap(slot_row)(base, cnt)
+    slot = jnp.clip(slot, 0, s - 1)
     src = (jnp.take_along_axis(start, slot, axis=1)
            + (j - jnp.take_along_axis(base, slot, axis=1)))
     valid_j = j < jnp.minimum(total, P)[:, None]
