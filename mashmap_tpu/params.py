@@ -100,8 +100,12 @@ class Parameters:
         if self.chain_gap is None:
             self.chain_gap = self.seg_length       # parseCmdArgs.hpp:487-489
         if not self.query_sequences:
-            # all-vs-all self mapping mode (parseCmdArgs.hpp:326-330)
-            self.skip_self = True
+            # all-vs-all self mapping mode (parseCmdArgs.hpp:326-330).
+            # NOTE: the reference sets skip_self=true here but then
+            # UNCONDITIONALLY overrides it from the -X flag at
+            # parseCmdArgs.hpp:340-344, so no-query mode does NOT skip
+            # self mappings unless -X is given — verified against the
+            # reference binary (self rows appear in its output).
             self.query_sequences = list(self.ref_sequences)
         if self.reference_size == 0 and self.ref_sequences:
             self.reference_size = sum(

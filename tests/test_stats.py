@@ -62,7 +62,9 @@ def test_parameters_finalize(tmp_path):
     p = Parameters(ref_sequences=[str(ref)]).finalize()
     assert p.block_length == p.seg_length == 5000
     assert p.chain_gap == 5000
-    assert p.skip_self is True           # no query => self-map mode
+    # no query => self-map mode; the reference does NOT skip self here
+    # (the -X flag overrides unconditionally, parseCmdArgs.hpp:340-344)
+    assert p.skip_self is False
     assert p.query_sequences == [str(ref)]
     assert p.sketch_size is not None and p.sketch_size >= 10
 
