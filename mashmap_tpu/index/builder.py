@@ -31,7 +31,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Tuple
 
 import numpy as np
 

@@ -8,15 +8,18 @@ mapping loop (computeMap.hpp:755-1451):
   gather -> interval-endpoint sort -> prefix-sum sweep -> candidate-run
   extraction + clustering. Everything is fixed-shape vector work; rows
   whose postings exceed the static caps are flagged for the (bit-identical)
-  host fallback.
+  host fallback. All outputs pack into ONE i32 buffer (one fetch).
 
 ``l2_step``: for a (W,) batch of L1 candidates —
-  gather the candidate's minmer-interval slice and compute the full
-  shared-sketch trajectory with batched integer matmuls (the SlideMapper
-  recurrence in closed form; see map/l2.py) — MXU-shaped work.
+  gather the candidate's minmer-interval slice, merge insertions and
+  expiries into one event stream (single multi-operand sort), recover
+  the SlideMapper state at every snapshot via signed one-hot cumsums
+  (see map/l2.py for the derivation), and extract the optimal-plateau
+  runs on device. Zero wide gathers — they are pathologically slow on
+  TPU. Returns a tiny packed run buffer.
 
-Plateau extraction, ANIDiff pruning, chaining and filtering stay on the
-host: they touch only a few hundred rows per query.
+ANIDiff pruning, run merging, chaining and filtering stay on the host:
+they touch only a few hundred rows per query.
 """
 
 from __future__ import annotations

@@ -18,16 +18,15 @@ import dataclasses
 import logging
 import sys
 import time
-from typing import IO, Iterable, List, Optional, Sequence, Tuple
+from typing import IO, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .. import stats
-from ..params import FIXED, Parameters, FILTER_MAP, FILTER_NONE, \
-    FILTER_ONETOONE
+from ..params import FIXED, Parameters, FILTER_MAP, FILTER_ONETOONE
 from ..index.builder import ReferenceIndex
 from ..kernels import kmers
-from ..kernels.sketch import sketch_fragments, complexity_rescale, UMAX
+from ..kernels.sketch import sketch_fragments, complexity_rescale
 from . import l1 as l1_mod
 from . import l2 as l2_mod
 from . import filters, merge, output
@@ -103,11 +102,15 @@ class Mapper:
         return groups
 
     def _get_ref_group(self, seq_name: str) -> int:
-        pref = self._prefix(seq_name, self.p.prefix_delim)
-        for i in range(self.idx.n_contigs):
-            if self._prefix(self.idx.names[i], self.p.prefix_delim) == pref:
-                return int(self.ref_groups[i])
-        return -1
+        if not hasattr(self, "_prefix_to_group"):
+            self._prefix_to_group = {}
+            for i in range(self.idx.n_contigs):
+                pref = self._prefix(self.idx.names[i],
+                                    self.p.prefix_delim)
+                self._prefix_to_group.setdefault(
+                    pref, int(self.ref_groups[i]))
+        return self._prefix_to_group.get(
+            self._prefix(seq_name, self.p.prefix_delim), -1)
 
     # --- cached statistics ---
     def _minimum_hits(self, s_q: int) -> int:
@@ -445,21 +448,48 @@ class Mapper:
             put = jnp.asarray
         self._n_dev = n_dev
 
+        # pad every index array to a power-of-two length: the arrays'
+        # sizes are part of the kernels' XLA shapes, so without padding
+        # every new reference genome would recompile l1/l2 (tens of
+        # seconds on tunneled backends). Pads are inert: UMAX hashes
+        # never match queries, zero-length posting ranges gather
+        # nothing, and interval pads sit beyond every w_hi bound.
+        def pow2(n, lo=1024):
+            return 1 << max(lo.bit_length() - 1, (max(n, 1) - 1)
+                            .bit_length())
+
+        def padded(a, n, fill):
+            if len(a) >= n:
+                return a
+            out = np.full(n, fill, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        U = pow2(len(idx.uniq_hashes))
+        Pn = pow2(len(idx.post_seqid))
+        M = pow2(len(idx.mi_hash))
+        NC = pow2(self.idx.n_contigs, lo=8)
+        self._n_contigs_padded = NC
+        po = padded(idx.post_offsets.astype(np.int32), U + 1,
+                    np.int32(len(idx.post_seqid)))
         self._dev = {
-            "uniq_hashes": put(idx.uniq_hashes),
-            "post_offsets": put(idx.post_offsets.astype(np.int32)),
-            "post_seqid": put(idx.post_seqid),
-            "post_wpos": put(idx.post_wpos),
-            "post_wend": put(idx.post_wend),
-            "is_frequent": put(idx.is_frequent),
-            "mi_hash": put(idx.mi_hash),
-            "mi_wpos": put(idx.mi_wpos),
-            "mi_wend": put(idx.mi_wend),
-            "mi_strand": put(idx.mi_strand),
-            "mi_seqid": put(idx.mi_seqid),
+            "uniq_hashes": put(padded(
+                idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
+            "post_offsets": put(po),
+            "post_seqid": put(padded(idx.post_seqid, Pn, np.int32(0))),
+            "post_wpos": put(padded(idx.post_wpos, Pn, np.int32(0))),
+            "post_wend": put(padded(idx.post_wend, Pn, np.int32(0))),
+            "is_frequent": put(padded(idx.is_frequent, U, False)),
+            "mi_hash": put(padded(
+                idx.mi_hash, M, np.uint64(0xFFFFFFFFFFFFFFFF))),
+            "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
+            "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
+            "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
+            "mi_seqid": put(padded(idx.mi_seqid, M, np.int32(-1))),
             "min_hits_table": put(mh_table),
             "cutoff_table": put(ct),
-            "ref_group": put(self.ref_groups.astype(np.int32)),
+            "ref_group": put(padded(
+                self.ref_groups.astype(np.int32), NC, np.int32(0))),
         }
         return self._dev
 
@@ -483,11 +513,17 @@ class Mapper:
 
         p = self.p
         dev = self._device_tables()
+        # n_groups rounds up to a power of two: it is a static kernel
+        # parameter, and per-genome values would force recompiles
+        if p.skip_prefix:
+            ng = 1 << max(3, int(self.ref_groups.max() + 1).bit_length())
+        else:
+            ng = 8
         cfg = L1Config(
             k=p.kmer_size, s=p.sketch_size, seg_length=p.seg_length,
             p_cap=p.l1_postings_cap, c_cap=p.l1_candidates_cap,
             t_cap=p.l2_entries_cap, table_scale=self.table_scale,
-            n_groups=int(self.ref_groups.max()) + 1)
+            n_groups=ng)
         B = len(frags)
         L = p.seg_length
         sanitized = [kmers.sanitize(q.seq.encode("ascii"))
@@ -497,10 +533,14 @@ class Mapper:
             s_u8 = sanitized[fr.query_idx]
             mat[i, :fr.q_len] = s_u8[fr.q_start:fr.q_start + fr.q_len]
         q_allowed = [self._allowed_mask(q) for q in queries]
-        allowed = np.stack([
-            np.ones(self.idx.n_contigs, bool)
-            if q_allowed[fr.query_idx] is None else q_allowed[fr.query_idx]
-            for fr in frags])
+        NC = self._n_contigs_padded
+        allowed = np.zeros((B, NC), bool)
+        for i, fr in enumerate(frags):
+            qa = q_allowed[fr.query_idx]
+            if qa is None:
+                allowed[i, :self.idx.n_contigs] = True
+            else:
+                allowed[i, :self.idx.n_contigs] = qa
         qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
               for q in queries]
 

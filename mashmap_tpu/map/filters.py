@@ -7,7 +7,6 @@ and the row predicates in computeMap.hpp:423-493.
 
 from __future__ import annotations
 
-import math
 from typing import List
 
 import numpy as np
