@@ -4,6 +4,49 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
+_M64 = (1 << 64) - 1
+_MUL = ((0xC6A4A793 << 32) + 0x5BD1E995) & _M64
+
+
+def _shift_mix(v: int) -> int:
+    return v ^ (v >> 47)
+
+
+def _libstdcxx_hash_bytes(data: bytes, seed: int = 0xC70F6907) -> int:
+    """libstdc++ std::_Hash_bytes (Murmur2-style, 64-bit size_t).
+
+    Needed because the reference subsamples mappings by
+    ``std::hash``-combined row hashes (base_types.hpp:145-204); this
+    reproduces the exact values the oracle binary computes.
+    """
+    h = (seed ^ ((len(data) * _MUL) & _M64)) & _M64
+    la = len(data) & ~7
+    for i in range(0, la, 8):
+        d = int.from_bytes(data[i:i + 8], "little")
+        d = (_shift_mix((d * _MUL) & _M64) * _MUL) & _M64
+        h = ((h ^ d) * _MUL) & _M64
+    if len(data) & 7:
+        d = 0
+        for b in reversed(data[la:]):
+            d = ((d << 8) + b) & _M64
+        h = ((h ^ d) * _MUL) & _M64
+    h = (_shift_mix(h) * _MUL) & _M64
+    return _shift_mix(h)
+
+
+def _std_hash_int(v: int) -> int:
+    """std::hash<integral> on libstdc++: static_cast<size_t> (sign-extends)."""
+    return v & _M64
+
+
+def _std_hash_float(x: float) -> int:
+    f = np.float32(x)
+    if f == np.float32(0.0):
+        return 0        # libstdc++ special-cases +-0.0
+    return _libstdcxx_hash_bytes(f.tobytes())
+
 
 @dataclasses.dataclass
 class MappingResult:
@@ -34,18 +77,27 @@ class MappingResult:
         return self.ref_end - self.ref_start + 1
 
     def stable_hash(self) -> int:
-        """Deterministic row hash for --sparsifyMappings subsampling.
+        """MappingResult::hash() (base_types.hpp:187-204), bit-exact.
 
-        The reference combines std::hash of the fields
-        (base_types.hpp:187-204); exact std::hash output is
-        implementation-defined, so we use our own stable mix — the flag is
-        a random-subsample knob, not an output-parity surface.
+        boost-style hash_combine over the fields in declaration order,
+        with libstdc++'s std::hash semantics (identity for integrals
+        with sign extension, _Hash_bytes for floats) — so the
+        --sparsifyMappings subsample selects exactly the rows the
+        reference binary selects.
         """
-        from ..kernels.murmur import murmur128_low64_py
-        key = (f"{self.query_len},{self.ref_start},{self.ref_end},"
-               f"{self.query_start},{self.query_end},{self.ref_seq_id},"
-               f"{self.query_seq_id},{self.block_length},"
-               f"{self.nuc_identity:.6g},{self.nuc_identity_ub:.6g},"
-               f"{self.sketch_size},{self.conserved_sketches},"
-               f"{self.strand},{self.approx_matches}")
-        return murmur128_low64_py(key.encode())
+        res = 0
+
+        def comb(res: int, h: int) -> int:
+            return res ^ ((h + 0x9E3779B9 + ((res << 6) & _M64)
+                           + (res >> 2)) & _M64)
+
+        for v in (self.query_len, self.ref_start, self.ref_end,
+                  self.query_start, self.query_end, self.ref_seq_id,
+                  self.query_seq_id, self.block_length):
+            res = comb(res, _std_hash_int(int(v)))
+        res = comb(res, _std_hash_float(self.nuc_identity))
+        res = comb(res, _std_hash_float(self.nuc_identity_ub))
+        for v in (self.sketch_size, self.conserved_sketches,
+                  self.strand, self.approx_matches):
+            res = comb(res, _std_hash_int(int(v)))
+        return res

@@ -21,24 +21,32 @@ from scipy import stats as sps
 
 
 def j2md(j: float, k: int) -> float:
-    """Jaccard estimate -> Mash distance. Reference: map_stats.hpp:45-55."""
+    """Jaccard estimate -> Mash distance. Reference: map_stats.hpp:45-55.
+
+    Bit-exact float mixing: the reference computes ``2*j/(1+j)`` in
+    C++ float, promotes through ``std::pow`` in double, subtracts in
+    double and rounds the assignment back to float.
+    """
     j = np.float32(j)
     if j == 0:
         return float(np.float32(1.0))
     if j == 1:
         return float(np.float32(0.0))
-    md = np.float32(1.0) - np.float32(
-        np.power(np.float32(2.0) * j / (np.float32(1.0) + j),
-                 np.float32(1.0) / np.float32(k), dtype=np.float32))
+    ratio = np.float32(2.0) * j / (np.float32(1.0) + j)      # f32
+    md = np.float32(1.0 - np.float64(ratio) ** (1.0 / k))    # f64 pow
     return float(md)
 
 
 def md2j(d: float, k: int) -> float:
-    """Mash distance -> Jaccard estimate. Reference: map_stats.hpp:63-68."""
+    """Mash distance -> Jaccard estimate. Reference: map_stats.hpp:63-68.
+
+    ``std::pow(sim, k)`` promotes to double; the division happens in
+    double and the result rounds back to float on assignment.
+    """
     d = np.float32(d)
     sim = np.float32(1.0) - d
-    simk = np.power(sim, np.float32(k), dtype=np.float32)
-    return float(simk / (np.float32(2.0) - simk))
+    simk = np.float64(sim) ** k
+    return float(np.float32(simk / (2.0 - simk)))
 
 
 def binom_sf(x: int, p: float, n: int) -> float:
