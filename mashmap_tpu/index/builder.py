@@ -147,46 +147,62 @@ def contig_minmer_intervals(
                 (empty_h, empty_i, empty_i, np.empty(0, np.int8)))
 
     # --- prev/next valid occurrence of the same hash ---
-    vpos = np.nonzero(valid)[0]
-    vh = h[vpos]
-    order = np.lexsort((vpos, vh))
-    sh, sp = vh[order], vpos[order]
+    # one packed-key sort instead of a lexsort; int32 throughout (all
+    # positions < 2^31) — this function runs over every k-mer of the
+    # genome, so temporaries' memory traffic dominates its cost
+    vpos = np.nonzero(valid)[0].astype(np.uint64)
+    if h.dtype == np.uint64:
+        # raw-hash domain (oracle tests): values use all 64 bits
+        order = np.lexsort((vpos, h[vpos]))
+        sp = vpos[order].astype(np.int64)
+    else:
+        # rank domain: values < 2^31, positions < 2^32 => one u64 sort
+        key = (h[vpos].astype(np.uint64) << np.uint64(32)) | vpos
+        key.sort()
+        sp = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    sh = h[sp]
     same_prev = np.zeros(len(sp), bool)
     same_prev[1:] = sh[1:] == sh[:-1]
     prev_s = np.where(same_prev, np.concatenate(([0], sp[:-1])), -1)
     same_next = np.zeros(len(sp), bool)
     same_next[:-1] = sh[1:] == sh[:-1]
     next_s = np.where(same_next, np.concatenate((sp[1:], [0])), n_k + s_b)
-    prev_occ = np.full(n_k, -1, np.int64)
+    prev_occ = np.full(n_k, -1, np.int32)
     prev_occ[sp] = prev_s
-    next_occ = np.full(n_k, n_k + s_b, np.int64)
+    next_occ = np.full(n_k, n_k + s_b, np.int32)
     next_occ[sp] = next_s
 
     # --- membership change events, vectorized over W in [1, n_w) ---
-    W = np.arange(1, n_w, dtype=np.int64)
-    p_in = W + s_b - 1
-    h_in = h[p_in]
-    newly = valid[p_in] & (prev_occ[p_in] < W)
-    begin1 = newly & (h_in <= theta[W])
-    p_out = W - 1
-    h_out = h[p_out]
-    lost = valid[p_out] & (next_occ[p_out] > W + s_b - 1)
-    end1 = lost & (h_out <= theta[W - 1])
-    rose = theta[W] > theta[W - 1]
-    begin2 = rose & (theta[W] != sent) & ~(begin1 & (h_in == theta[W]))
-    fell = theta[W] < theta[W - 1]
-    end2 = fell & (theta[W - 1] != sent) & ~(lost & (h_out == theta[W - 1]))
+    # every "indexed by W / W-1 / W+s_b-1" access is a SLICE (the index
+    # vectors are aranges) — fancy indexing would copy gigabytes
+    W = np.arange(1, n_w, dtype=np.int32)
+    h_in = h[s_b:n_w + s_b - 1]                        # h[W + s_b - 1]
+    th_W = theta[1:n_w]                                # theta[W]
+    th_Wm1 = theta[:n_w - 1]                           # theta[W - 1]
+    newly = valid[s_b:n_w + s_b - 1] & (prev_occ[s_b:n_w + s_b - 1] < W)
+    begin1 = newly & (h_in <= th_W)
+    h_out = h[:n_w - 1]                                # h[W - 1]
+    lost = valid[:n_w - 1] & \
+        (next_occ[:n_w - 1].astype(np.int64) > W.astype(np.int64)
+         + (s_b - 1))
+    end1 = lost & (h_out <= th_Wm1)
+    rose = th_W > th_Wm1
+    begin2 = rose & (th_W != sent) & ~(begin1 & (h_in == th_W))
+    fell = th_W < th_Wm1
+    end2 = fell & (th_Wm1 != sent) & ~(lost & (h_out == th_Wm1))
 
     # initial members of window 0
-    p0 = np.arange(min(s_b, n_k), dtype=np.int64)
-    init_mask = valid[p0] & (prev_occ[p0] < 0) & (h[p0] <= theta[0])
+    n0 = min(s_b, n_k)
+    init_mask = valid[:n0] & (prev_occ[:n0] < 0) & (h[:n0] <= theta[0])
 
     beg_W = np.concatenate([np.zeros(init_mask.sum(), np.int64),
-                            W[begin1], W[begin2]])
-    beg_h = np.concatenate([h[p0[init_mask]], h_in[begin1],
-                            theta[W][begin2]])
-    end_W = np.concatenate([W[end1], W[end2]])
-    end_h = np.concatenate([h_out[end1], theta[W - 1][end2]])
+                            W[begin1].astype(np.int64),
+                            W[begin2].astype(np.int64)])
+    beg_h = np.concatenate([h[:n0][init_mask], h_in[begin1],
+                            th_W[begin2]])
+    end_W = np.concatenate([W[end1].astype(np.int64),
+                            W[end2].astype(np.int64)])
+    end_h = np.concatenate([h_out[end1], th_Wm1[end2]])
 
     # --- pair begins with ends per hash ---
     ob = np.lexsort((beg_W, beg_h))
