@@ -60,15 +60,20 @@ def run_ours(fasta: str) -> float:
     # compile cache AND this process's executable/transfer paths (on
     # tunneled TPU backends the first dispatch of each executable pays
     # seconds of loading latency that a long-running mapping service
-    # pays exactly once), then time the full end-to-end run.
+    # pays exactly once), then report the best of two timed runs —
+    # tunnel bandwidth fluctuates several-fold between runs, and
+    # best-of-N measures the pipeline rather than the link's mood.
     t0 = time.time()
     map_files(make_params())
     cold = time.time() - t0
-    t0 = time.time()
-    map_files(make_params())
-    dt = time.time() - t0
-    print(f"[bench] cold end-to-end: {cold:.1f}s, steady-state: {dt:.1f}s",
-          file=sys.stderr)
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        map_files(make_params())
+        runs.append(time.time() - t0)
+    dt = min(runs)
+    print(f"[bench] cold end-to-end: {cold:.1f}s, steady-state runs: "
+          f"{[round(r, 1) for r in runs]} -> {dt:.1f}s", file=sys.stderr)
     n = sum(1 for _ in open(out))
     assert n > 0, "bench produced no mappings"
     return dt
@@ -82,14 +87,18 @@ def run_reference(fasta: str) -> float:
         return -1.0
     ref_bin = build.stdout.strip().splitlines()[-1]
     out = os.path.join(DATA, "bench_ref.paf")
-    t0 = time.time()
-    r = subprocess.run(
-        [ref_bin, "-r", fasta, "--pi", str(PI), "-Y", "#", "-n", "1",
-         "-t", "8", "-o", out],
-        capture_output=True, text=True, timeout=3600)
-    if r.returncode != 0:
-        return -1.0
-    return time.time() - t0
+    best = -1.0
+    for _ in range(2):          # best-of-2, like our own measurement
+        t0 = time.time()
+        r = subprocess.run(
+            [ref_bin, "-r", fasta, "--pi", str(PI), "-Y", "#", "-n", "1",
+             "-t", "8", "-o", out],
+            capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            return -1.0
+        dt = time.time() - t0
+        best = dt if best < 0 else min(best, dt)
+    return best
 
 
 def main():
