@@ -215,6 +215,46 @@ def _theta_chunk_rows(s: int, s_b: int) -> int:
     return rows
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _rle_compact(x2d: jax.Array, cap: int):
+    """Run-length compress a flattened int32 array on device.
+
+    theta changes at only ~5% of windows, so fetching (position, value)
+    change pairs moves ~10x fewer bytes over the (slow) device->host
+    link than the dense array. Returns (buf, cnt): buf = positions
+    [0:cap] then values [cap:2cap]; cnt = number of runs (> cap means
+    overflow -> caller falls back to the dense fetch).
+    """
+    x = x2d.reshape(-1)
+    n = x.shape[0]
+    change = jnp.concatenate(
+        [jnp.ones(1, bool), x[1:] != x[:-1]])
+    idx = jnp.cumsum(change.astype(jnp.int32)) - 1
+    cnt = idx[-1] + 1
+    tgt = jnp.where(change, jnp.minimum(idx, cap - 1), cap)
+    pos_buf = jnp.zeros(cap + 1, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32))
+    val_buf = jnp.zeros(cap + 1, jnp.int32).at[tgt].set(x)
+    return jnp.concatenate(
+        [pos_buf[:cap], val_buf[:cap], cnt[None].astype(jnp.int32)])
+
+
+def _fetch_theta_chunk(dev_chunk, rows: int, s_b: int) -> np.ndarray:
+    """Fetch one (rows, s_b) device theta chunk, RLE-compressed.
+
+    Fixed-size compressed buffer (count embedded at the end): dynamic
+    slice fetches would trigger per-count XLA compiles.
+    """
+    cap = max(1024, rows * s_b // 8)
+    flat = np.asarray(_rle_compact(dev_chunk, cap))
+    cnt = int(flat[-1])
+    if cnt > cap:
+        return np.asarray(dev_chunk)          # dense fallback (rare)
+    pos, val = flat[:cnt], flat[cap:cap + cnt]
+    lengths = np.diff(np.concatenate([pos, [rows * s_b]]))
+    return np.repeat(val, lengths).reshape(rows, s_b)
+
+
 def _pallas_theta_usable() -> bool:
     """Probe (once per machine/config) whether the Pallas theta kernel
     compiles on this backend.
@@ -330,8 +370,9 @@ def theta_scan_ranks(
             padr = np.full((chunk - (c1 - c0), s_b), RSENT, np.int32)
             cc = np.concatenate([cc, padr])
             nn = np.concatenate([nn, padr])
-        theta_rank[c0:c1] = np.asarray(chunk_fn(
-            jnp.asarray(cc), jnp.asarray(nn)))[: c1 - c0]
+        theta_rank[c0:c1] = _fetch_theta_chunk(
+            chunk_fn(jnp.asarray(cc), jnp.asarray(nn)),
+            chunk, s_b)[: c1 - c0]
 
     for sp in spans:
         if sp is None:
