@@ -151,8 +151,9 @@ def contig_minmer_intervals(
     # positions < 2^31) — this function runs over every k-mer of the
     # genome, so temporaries' memory traffic dominates its cost
     vpos = np.nonzero(valid)[0].astype(np.uint64)
-    if h.dtype == np.uint64:
-        # raw-hash domain (oracle tests): values use all 64 bits
+    if h.dtype == np.uint64 or n_k >= (1 << 32):
+        # raw-hash domain (oracle tests) or a contig too long for the
+        # 32-bit position pack: plain lexsort
         order = np.lexsort((vpos, h[vpos]))
         sp = vpos[order].astype(np.int64)
     else:
