@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batchFragments", type=int, default=512)
     p.add_argument("--profile", action="store_true",
                    help="enable stage timing logs")
+    p.add_argument("--traceDir", default="",
+                   help="write a JAX profiler trace (TensorBoard format) "
+                        "of the mapping phase to this directory")
     return p
 
 
@@ -248,7 +251,15 @@ def main(argv=None) -> int:
     params = args_to_params(args)
     echo_params(params)
     from .api import map_files
-    map_files(params)
+    if args.traceDir:
+        # reference aux subsystem analog: ENABLE_TIME_PROFILE_L1_L2 /
+        # PROFILE builds (SURVEY.md section 5) — here a full JAX
+        # profiler trace viewable in TensorBoard/Perfetto
+        import jax
+        with jax.profiler.trace(args.traceDir):
+            map_files(params)
+    else:
+        map_files(params)
     return 0
 
 
