@@ -48,85 +48,22 @@ class L1Config(NamedTuple):
     n_groups: int = 1      # reference prefix groups (skip_prefix)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
-            post_wend, is_frequent, min_hits_table, cutoff_table,
-            allowed, ref_group, cfg: L1Config):
-    """Fragment batch -> sketches + L1 candidate regions.
+def sweep_and_candidates(g_seq, g_wp, g_we, valid_j, s_q, min_hits,
+                         ref_group, cutoff_table, cfg: L1Config):
+    """Interval-endpoint sweep + candidate clustering over gathered
+    postings (computeL1CandidateRegions, computeMap.hpp:915-1116).
+
+    Shared by the replicated-index l1_step and the hash-range-sharded
+    lookup path (parallel/sharded_index.py).
 
     Args:
-      frags: (B, L) uint8 sanitized fragment bytes ('N'-padded).
-      uniq_hashes/(post_*)/is_frequent: device index (CSR postings).
-      min_hits_table: (s+1,) int32 — estimateMinimumHitsRelaxed per s_q.
-      cutoff_table: (ss+1,) int32 hypergeometric cutoffs (or all-ones).
-      allowed: (B, n_contigs) bool — per-fragment admissible reference
-        sequences (skip_self / skip_prefix / lower_triangular masks,
-        computeMap.hpp:887-894).
-      cfg: static shape configuration.
+      g_seq/g_wp/g_we: (B, P) gathered interval points (zero-filled
+        where ~valid_j).
+      s_q: (B,) post-filter sketch sizes; min_hits: (B,) int32.
 
-    Returns dict of per-fragment sketches, candidates, and overflow flags.
+    Returns (c_seq, c_first, c_last, c_inter, n_cand, overflow_c).
     """
-    B = frags.shape[0]
-    s = cfg.s
-    U = uniq_hashes.shape[0]
-    P = cfg.p_cap
-
-    q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
-
-    # --- frequent-seed filter + compaction (order-preserving) ---
-    pos0 = jnp.searchsorted(uniq_hashes, q_hash)          # (B, s)
-    posc = jnp.minimum(pos0, max(U - 1, 0))
-    found = (q_hash != UMAX)
-    if U > 0:
-        found &= uniq_hashes[posc] == q_hash
-        freq = found & is_frequent[posc]
-    else:
-        found &= False
-        freq = jnp.zeros_like(found)
-    keep = (q_hash != UMAX) & ~freq
-    order = jnp.argsort(~keep, axis=1, stable=True)
-    q_hash_c = jnp.take_along_axis(
-        jnp.where(keep, q_hash, UMAX), order, axis=1)
-    q_strand_c = jnp.take_along_axis(
-        jnp.where(keep, q_strand, 0), order, axis=1)
-    s_q = jnp.sum(keep, axis=1).astype(jnp.int32)         # (B,)
-    min_hits = min_hits_table[s_q]
-
-    # --- postings ranges (only kept+found sketch hashes) ---
-    use = keep & found
-    start = jnp.where(use, post_offsets[posc], 0)
-    cnt = jnp.where(use, post_offsets[jnp.minimum(posc + 1, U)] - start, 0)
-    cum = jnp.cumsum(cnt, axis=1)
-    base = cum - cnt
-    total = cum[:, -1]
-    overflow_l1 = total > P
-
-    # gather up to P intervals per row. slot[j] = which sketch hash owns
-    # output position j = searchsorted(cum, j, 'right'); computed as a
-    # small scatter-max of range starts + a cummax fill (binary-search
-    # gathers are slow on TPU).
-    j = jnp.arange(P, dtype=jnp.int32)[None, :]           # (1, P)
-
-    def slot_row(base_r, cnt_r):
-        z = jnp.full((P + 1,), -1, jnp.int32).at[
-            jnp.minimum(jnp.where(cnt_r > 0, base_r, P), P)].max(
-            jnp.arange(s, dtype=jnp.int32))
-        return jax.lax.cummax(z[:P])
-
-    slot = jax.vmap(slot_row)(base, cnt)
-    slot = jnp.clip(slot, 0, s - 1)
-    src = (jnp.take_along_axis(start, slot, axis=1)
-           + (j - jnp.take_along_axis(base, slot, axis=1)))
-    valid_j = j < jnp.minimum(total, P)[:, None]
-    srcc = jnp.clip(src, 0, max(post_seqid.shape[0] - 1, 0))
-    g_seq = jnp.where(valid_j, post_seqid[srcc], 0)
-    g_wp = jnp.where(valid_j, post_wpos[srcc], 0)
-    g_we = jnp.where(valid_j, post_wend[srcc], 0)
-    # admissibility mask
-    adm = jnp.take_along_axis(allowed, g_seq, axis=1)
-    valid_j = valid_j & adm
-
-    # --- interval-endpoint sweep ---
+    B, P = g_seq.shape
     # key = seqid << 33 | pos << 1 | side  (CLOSE=0 sorts before OPEN=1)
     k_open = ((g_seq.astype(jnp.int64) << 33)
               | (g_wp.astype(jnp.int64) << 1) | 1)
@@ -233,6 +170,92 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     n_cand = jnp.max(jnp.where(r_valid, cid, -1), axis=1) + 1
     overflow_c = n_cand > C
     n_cand = jnp.minimum(n_cand, C)
+
+    return c_seq, c_first, c_last, c_inter, n_cand, overflow_c
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
+            post_wend, is_frequent, min_hits_table, cutoff_table,
+            allowed, ref_group, cfg: L1Config):
+    """Fragment batch -> sketches + L1 candidate regions.
+
+    Args:
+      frags: (B, L) uint8 sanitized fragment bytes ('N'-padded).
+      uniq_hashes/(post_*)/is_frequent: device index (CSR postings).
+      min_hits_table: (s+1,) int32 — estimateMinimumHitsRelaxed per s_q.
+      cutoff_table: (ss+1,) int32 hypergeometric cutoffs (or all-ones).
+      allowed: (B, n_contigs) bool — per-fragment admissible reference
+        sequences (skip_self / skip_prefix / lower_triangular masks,
+        computeMap.hpp:887-894).
+      cfg: static shape configuration.
+
+    Returns dict of per-fragment sketches, candidates, and overflow flags.
+    """
+    B = frags.shape[0]
+    s = cfg.s
+    U = uniq_hashes.shape[0]
+    P = cfg.p_cap
+
+    q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
+
+    # --- frequent-seed filter + compaction (order-preserving) ---
+    pos0 = jnp.searchsorted(uniq_hashes, q_hash)          # (B, s)
+    posc = jnp.minimum(pos0, max(U - 1, 0))
+    found = (q_hash != UMAX)
+    if U > 0:
+        found &= uniq_hashes[posc] == q_hash
+        freq = found & is_frequent[posc]
+    else:
+        found &= False
+        freq = jnp.zeros_like(found)
+    keep = (q_hash != UMAX) & ~freq
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    q_hash_c = jnp.take_along_axis(
+        jnp.where(keep, q_hash, UMAX), order, axis=1)
+    q_strand_c = jnp.take_along_axis(
+        jnp.where(keep, q_strand, 0), order, axis=1)
+    s_q = jnp.sum(keep, axis=1).astype(jnp.int32)         # (B,)
+    min_hits = min_hits_table[s_q]
+
+    # --- postings ranges (only kept+found sketch hashes) ---
+    use = keep & found
+    start = jnp.where(use, post_offsets[posc], 0)
+    cnt = jnp.where(use, post_offsets[jnp.minimum(posc + 1, U)] - start, 0)
+    cum = jnp.cumsum(cnt, axis=1)
+    base = cum - cnt
+    total = cum[:, -1]
+    overflow_l1 = total > P
+
+    # gather up to P intervals per row. slot[j] = which sketch hash owns
+    # output position j = searchsorted(cum, j, 'right'); computed as a
+    # small scatter-max of range starts + a cummax fill (binary-search
+    # gathers are slow on TPU).
+    j = jnp.arange(P, dtype=jnp.int32)[None, :]           # (1, P)
+
+    def slot_row(base_r, cnt_r):
+        z = jnp.full((P + 1,), -1, jnp.int32).at[
+            jnp.minimum(jnp.where(cnt_r > 0, base_r, P), P)].max(
+            jnp.arange(s, dtype=jnp.int32))
+        return jax.lax.cummax(z[:P])
+
+    slot = jax.vmap(slot_row)(base, cnt)
+    slot = jnp.clip(slot, 0, s - 1)
+    src = (jnp.take_along_axis(start, slot, axis=1)
+           + (j - jnp.take_along_axis(base, slot, axis=1)))
+    valid_j = j < jnp.minimum(total, P)[:, None]
+    srcc = jnp.clip(src, 0, max(post_seqid.shape[0] - 1, 0))
+    g_seq = jnp.where(valid_j, post_seqid[srcc], 0)
+    g_wp = jnp.where(valid_j, post_wpos[srcc], 0)
+    g_we = jnp.where(valid_j, post_wend[srcc], 0)
+    # admissibility mask
+    adm = jnp.take_along_axis(allowed, g_seq, axis=1)
+    valid_j = valid_j & adm
+
+    (c_seq, c_first, c_last, c_inter, n_cand,
+     overflow_c) = sweep_and_candidates(
+        g_seq, g_wp, g_we, valid_j, s_q, min_hits, ref_group,
+        cutoff_table, cfg)
 
     # pack EVERYTHING into ONE (B, 4+4C+3s) i32 buffer: on tunneled TPU
     # backends every device->host array fetch pays ~300ms of latency, so
