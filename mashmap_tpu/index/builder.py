@@ -285,25 +285,46 @@ def contig_minmer_intervals(
     s_we = [iv_we[plain]]
     s_strand = [np.where(v0[plain] < 0, REV, FWD)]
 
-    for i in np.nonzero(~plain)[0]:
-        seg_b = int(iv_wb[i])
-        v = int(v0[i])
-        for j in range(int(lo[i]), int(hi[i])):
-            if class_change[j]:
-                t = int(ev_W[j])
-                if t > seg_b:
-                    s_hash.append(iv_hash[i:i + 1])
-                    s_wb.append(np.array([seg_b]))
-                    s_we.append(np.array([t]))
-                    s_strand.append(np.array(
-                        [REV if v < 0 else FWD], np.int8))
-                seg_b = t
-            v = int(v_after[j])
-        if iv_we[i] > seg_b:
-            s_hash.append(iv_hash[i:i + 1])
-            s_wb.append(np.array([seg_b]))
-            s_we.append(np.array([int(iv_we[i])]))
-            s_strand.append(np.array([REV if v < 0 else FWD], np.int8))
+    # vectorized sign-class splitting of the flagged intervals (a
+    # python walk here scales with the repeat content of the genome):
+    # boundaries are the distinct class-change positions inside each
+    # interval; a segment's strand is the vote class just BEFORE its
+    # closing boundary event (v_before of the first event at that
+    # position), and the tail segment takes the final running vote.
+    flagged = np.nonzero(~plain)[0]
+    if len(flagged):
+        spans = (hi[flagged] - lo[flagged]).astype(np.int64)
+        ev_rows = np.repeat(lo[flagged], spans) + (
+            np.arange(spans.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(spans)[:-1])), spans))
+        iv_of_row = np.repeat(flagged, spans)
+        ccm = class_change[ev_rows]
+        r_iv = iv_of_row[ccm]
+        r_rows = ev_rows[ccm]
+        r_t = ev_W[r_rows]
+        r_vb = v_before[r_rows]
+        first = np.concatenate(([True], (r_iv[1:] != r_iv[:-1])
+                                | (r_t[1:] != r_t[:-1])))
+        r_iv, r_t, r_vb = r_iv[first], r_t[first], r_vb[first]
+        seg_b = np.where(
+            np.concatenate(([-1], r_iv[:-1])) == r_iv,
+            np.concatenate(([0], r_t[:-1])), iv_wb[r_iv])
+        s_hash.append(iv_hash[r_iv])
+        s_wb.append(seg_b)
+        s_we.append(r_t)
+        s_strand.append(np.where(r_vb < 0, REV, FWD).astype(np.int8))
+
+        lastmask = np.concatenate((r_iv[1:] != r_iv[:-1], [True]))
+        lb_iv, lb_t = r_iv[lastmask], r_t[lastmask]
+        assert np.array_equal(lb_iv, flagged), \
+            "every flagged interval must own at least one boundary"
+        v_fin = v_after[hi[flagged] - 1]
+        keep_fin = iv_we[flagged] > lb_t
+        s_hash.append(iv_hash[flagged][keep_fin])
+        s_wb.append(lb_t[keep_fin])
+        s_we.append(iv_we[flagged][keep_fin])
+        s_strand.append(
+            np.where(v_fin[keep_fin] < 0, REV, FWD).astype(np.int8))
 
     s_hash = np.concatenate(s_hash).astype(h.dtype)
     s_wb = np.concatenate(s_wb).astype(np.int64)
