@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU runtime knobs
     p.add_argument("--noDevicePipeline", action="store_true",
                    help="run L1/L2 on the host instead of the accelerator")
+    p.add_argument("--shardIndex", action="store_true",
+                   help="shard the seed index by hash range across the "
+                        "device mesh instead of replicating it (for "
+                        "indexes larger than one chip's memory)")
     p.add_argument("--batchFragments", type=int, default=512)
     p.add_argument("--profile", action="store_true",
                    help="enable stage timing logs")
@@ -203,6 +207,7 @@ def args_to_params(a) -> Parameters:
         threads=a.threads,
         batch_fragments=a.batchFragments,
         use_device_pipeline=not a.noDevicePipeline,
+        shard_index=a.shardIndex,
     ).finalize()
     return params
 

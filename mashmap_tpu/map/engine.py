@@ -448,6 +448,15 @@ class Mapper:
             put = jnp.asarray
         self._n_dev = n_dev
 
+        self._sharded_idx = None
+        if p.shard_index and self._mesh is not None:
+            from ..parallel.sharded_index import build_sharded_index
+            self._sharded_idx = build_sharded_index(idx, self._mesh)
+        elif p.shard_index:
+            logger.warning(
+                "shard_index requested but only one device is visible; "
+                "falling back to the replicated index")
+
         # pad every index array to a power-of-two length: the arrays'
         # sizes are part of the kernels' XLA shapes, so without padding
         # every new reference genome would recompile l1/l2 (tens of
@@ -561,12 +570,25 @@ class Mapper:
 
         import jax
         from ..kernels.mapdev import unpack_l1_meta
-        out = l1_step(
-            self._put_batch(matp), dev["uniq_hashes"],
-            dev["post_offsets"],
-            dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
-            dev["is_frequent"], dev["min_hits_table"], dev["cutoff_table"],
-            self._put_batch(allowedp), dev["ref_group"], cfg)
+        if self._sharded_idx is not None:
+            from ..parallel.sharded_index import l1_step_sharded
+            si = self._sharded_idx
+            rep_put = (lambda x: jax.device_put(
+                np.asarray(x), jax.sharding.NamedSharding(
+                    self._mesh, jax.sharding.PartitionSpec())))
+            out = l1_step_sharded(
+                rep_put(matp), si.uniq, si.offsets, si.seqid, si.wpos,
+                si.wend, si.frequent, dev["min_hits_table"],
+                dev["cutoff_table"], rep_put(allowedp),
+                dev["ref_group"], cfg, self._mesh, si.p_shard)
+        else:
+            out = l1_step(
+                self._put_batch(matp), dev["uniq_hashes"],
+                dev["post_offsets"],
+                dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
+                dev["is_frequent"], dev["min_hits_table"],
+                dev["cutoff_table"],
+                self._put_batch(allowedp), dev["ref_group"], cfg)
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.

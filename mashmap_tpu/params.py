@@ -88,6 +88,8 @@ class Parameters:
     # --- TPU-side knobs (no reference analog) ---
     batch_fragments: int = 512      # fragments per device batch
     use_device_pipeline: bool = True
+    shard_index: bool = False       # hash-range-shard postings over the
+    # mesh (the beyond-one-chip's-HBM path) instead of replicating
     l1_postings_cap: int = 1024     # max gathered intervals per fragment
     l1_candidates_cap: int = 16     # max L1 candidate regions per fragment
     l2_entries_cap: int = 2048      # (x l2_batch = device area per call)

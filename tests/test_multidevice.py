@@ -32,19 +32,21 @@ params = Parameters(
     ref_sequences=[{fa!r}], out_file_name={out!r},
     kmer_size=11, seg_length=500, sketch_size=30,
     percentage_identity=0.8, skip_prefix=True, prefix_delim="#",
-    num_mappings_for_segment=1, batch_fragments=64)
+    num_mappings_for_segment=1, batch_fragments=64,
+    shard_index={shard!r})
 map_files(params)
 """
 
 
-def _run(tmp_path, n_devices: int) -> str:
-    fa = str(tmp_path / f"pan{n_devices}.fa")
-    out = str(tmp_path / f"out{n_devices}.paf")
+def _run(tmp_path, n_devices: int, shard: bool = False) -> str:
+    fa = str(tmp_path / f"pan{n_devices}{int(shard)}.fa")
+    out = str(tmp_path / f"out{n_devices}{int(shard)}.paf")
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_devices}")
     env["JAX_PLATFORMS"] = "cpu"
-    code = SCRIPT.format(repo=REPO, tests=HERE, fa=fa, out=out)
+    code = SCRIPT.format(repo=REPO, tests=HERE, fa=fa, out=out,
+                         shard=shard)
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, env=env,
                        timeout=900)
@@ -60,3 +62,11 @@ def test_mesh8_matches_single_device(tmp_path):
     mesh8 = _run(tmp_path, 8)
     assert single, "no mappings produced"
     assert mesh8 == single
+
+
+@pytest.mark.slow
+def test_mesh8_sharded_index_matches(tmp_path):
+    """--shardIndex (hash-range-sharded postings) == replicated output."""
+    single = _run(tmp_path, 1)
+    sharded = _run(tmp_path, 8, shard=True)
+    assert sharded == single
