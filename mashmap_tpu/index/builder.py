@@ -493,16 +493,34 @@ def build_index(
 
     span = window_size - kmer_size + 1
 
-    # ---- phase 1: canonical-hash every indexable contig on the device,
-    # results STAY on the device (device->host fetches are the expensive
-    # direction on tunneled TPU backends: ~300ms latency, ~20 MB/s).
+    # ---- phase 1: canonical-hash every indexable contig on the device.
+    # Results STAY on the device (device->host fetches are the expensive
+    # direction on tunneled TPU backends: ~300ms latency, ~20 MB/s)
+    # unless the genome outgrows the device rank-reduction budget, in
+    # which case slabs stream to the host and the rank reduction runs
+    # there (np.unique) — correctness is identical either way.
+    import os
     import jax
     import jax.numpy as jnp
+    dev_limit = int(os.environ.get(
+        "MASHMAP_TPU_DEVICE_RANK_LIMIT", 256 * 1024 * 1024))
     fn = _hash_slab_fn(kmer_size)
     slab_h, slab_st, slab_valid = [], [], []
+    host_mode = False
     # (seq_id, start_in_concat_with_pads, n_kmers)
     spans_c: List[Tuple[int, int, int]] = []
     concat_off = 0
+
+    def _to_host():
+        nonlocal slab_h, slab_st, slab_valid, host_mode
+        slab_h = [np.asarray(x) for x in slab_h]
+        slab_st = [np.asarray(x) for x in slab_st]
+        slab_valid = [np.asarray(x) for x in slab_valid]
+        host_mode = True
+        logger.info(
+            "genome exceeds the device rank-reduction budget "
+            "(%d positions); streaming hashes to the host", dev_limit)
+
     for seq_id, (name, seq) in enumerate(contigs):
         names.append(name)
         lengths.append(len(seq))
@@ -528,18 +546,41 @@ def build_index(
             # slab's overlap region) as invalid
             mask = np.zeros(n_out, bool)
             mask[: hi - lo] = True
+            if host_mode:
+                ch, cs, cv = (np.asarray(ch), np.asarray(cs),
+                              np.asarray(cv))
+                cv = cv & mask
+            else:
+                cv = cv & jnp.asarray(mask)
             slab_h.append(ch)
             slab_st.append(cs)
-            slab_valid.append(cv & jnp.asarray(mask))
+            slab_valid.append(cv)
             concat_off += n_out
+            if not host_mode and concat_off > dev_limit:
+                _to_host()
         spans_c.append((seq_id, start, n))
 
     if not names:
         raise ValueError("No sequences indexed!")
 
+    def slab_views(arrs, start, n):
+        """Per-contig contiguous view from the padded slab layout."""
+        pieces = []
+        got = 0
+        off = start
+        while got < n:
+            take = min(_HASH_SLAB, n - got)
+            slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
+            pieces.append(arrs[off:off + take])
+            off += slab_len
+            got += take
+        return np.concatenate(pieces)
+
     hashed_any = bool(spans_c)
-    if hashed_any:
-        # ---- phase 2: global rank reduction on device; fetch ONLY the
+    lut_dev = None
+    uniq_host = None
+    if hashed_any and not host_mode:
+        # ---- phase 2 (device): global rank reduction; fetch ONLY the
         # compact int32 ranks + strands (one transfer)
         hm = jnp.concatenate([
             jnp.where(v, h, winnow.SENTINEL)
@@ -553,27 +594,25 @@ def build_index(
         st_dev = jnp.concatenate(slab_st)
         ranks_all, st_all = jax.device_get((ranks_dev[:total], st_dev))
         del slab_h, slab_st, slab_valid
-
-        per_contig: List[Tuple[int, np.ndarray, np.ndarray]] = []
-        for seq_id, start, n in spans_c:
-            # slabs are padded: positions within a contig are contiguous
-            # only inside each slab; rebuild the contig view slab by slab
-            pieces_r, pieces_s = [], []
-            got = 0
-            off = start
-            while got < n:
-                take = min(_HASH_SLAB, n - got)
-                slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
-                pieces_r.append(ranks_all[off:off + take])
-                pieces_s.append(st_all[off:off + take])
-                off += slab_len
-                got += take
-            per_contig.append((
-                seq_id,
-                np.concatenate(pieces_r),
-                np.concatenate(pieces_s)))
-
-        # ---- phase 3: batched theta scan (int32 ranks in, ranks out)
+        per_contig = [
+            (seq_id, slab_views(ranks_all, start, n),
+             slab_views(st_all, start, n))
+            for seq_id, start, n in spans_c]
+        thetas = winnow.theta_scan_ranks(
+            [r for _, r, _ in per_contig], sketch_size, span)
+    elif hashed_any:
+        # ---- phase 2 (host): streamed slabs, np.unique rank reduction
+        h_all = np.concatenate(slab_h)
+        st_all = np.concatenate(slab_st)
+        v_all = np.concatenate(slab_valid)
+        del slab_h, slab_st, slab_valid
+        contig_hv = [
+            (slab_views(h_all, start, n), slab_views(v_all, start, n))
+            for _, start, n in spans_c]
+        rank_list, uniq_host = winnow.rank_reduce_host(contig_hv)
+        per_contig = [
+            (seq_id, rank_list[i], slab_views(st_all, start, n))
+            for i, (seq_id, start, n) in enumerate(spans_c)]
         thetas = winnow.theta_scan_ranks(
             [r for _, r, _ in per_contig], sketch_size, span)
     else:
@@ -637,11 +676,16 @@ def build_index(
         mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
 
     # ---- final: resolve rank keys back to u64 hashes with one device
-    # gather + one fetch (the LUT itself never crosses the tunnel)
+    # gather + one fetch (the LUT itself never crosses the tunnel), or
+    # directly on the host in streamed (big-genome) mode
     if hashed_any and (len(uniq_ranks) or len(mi_rank)):
-        uniq_hashes, mi_hash = jax.device_get((
-            lut_dev[jnp.asarray(uniq_ranks)],
-            lut_dev[jnp.asarray(mi_rank)]))
+        if lut_dev is not None:
+            uniq_hashes, mi_hash = jax.device_get((
+                lut_dev[jnp.asarray(uniq_ranks)],
+                lut_dev[jnp.asarray(mi_rank)]))
+        else:
+            uniq_hashes = uniq_host[uniq_ranks]
+            mi_hash = uniq_host[mi_rank]
     else:
         uniq_hashes = np.empty(0, np.uint64)
         mi_hash = np.empty(0, np.uint64)
