@@ -553,11 +553,15 @@ class Mapper:
         qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
               for q in queries]
 
-        # pad batch to a fixed floor (then powers of two) so the l1_step
-        # XLA shape — and its multi-second compile — is reused across
-        # batches and processes; multi-device meshes also need the batch
-        # divisible by the device count
-        Bp = max(p.batch_fragments, 1 << (B - 1).bit_length())
+        # pad batch to a fixed floor, then to a {2^k, 1.5*2^k} size grid:
+        # few distinct l1_step XLA shapes (compiles are multi-second and
+        # reused across batches/processes) without paying up to 2x
+        # padding waste; multi-device meshes also need divisibility by
+        # the device count
+        Bp = 1 << (B - 1).bit_length()
+        if B <= (Bp * 3) // 4:
+            Bp = (Bp * 3) // 4
+        Bp = max(p.batch_fragments, Bp)
         if Bp % self._n_dev:
             Bp += self._n_dev - Bp % self._n_dev
         matp = mat
