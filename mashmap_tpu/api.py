@@ -38,7 +38,8 @@ def build_or_load_index(params: Parameters) -> ReferenceIndex:
     t0 = time.time()
     idx = build_index(
         contigs(), params.kmer_size, params.seg_length,
-        params.sketch_size, params.kmer_pct_threshold)
+        params.sketch_size, params.kmer_pct_threshold,
+        threads=params.threads)
     logger.info("reference index built in %.2fs", time.time() - t0)
     if params.save_index_filename:
         idx.save(params.save_index_filename)

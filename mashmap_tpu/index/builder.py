@@ -479,6 +479,7 @@ def build_index(
     window_size: int,
     sketch_size: int,
     kmer_pct_threshold: float = 0.001,
+    threads: int = 1,
 ) -> ReferenceIndex:
     """Build the reference index from (name, sequence) pairs.
 
@@ -619,23 +620,38 @@ def build_index(
         per_contig, thetas = [], []
 
     # ---- phase 4: membership events per contig (host, vectorized, all
-    # in the int32 rank domain; u64 hashes are resolved at the end)
-    for (seq_id, r, st), theta in zip(per_contig, thetas):
+    # in the int32 rank domain; u64 hashes are resolved at the end).
+    # numpy releases the GIL for the heavy ops, so contigs parallelize
+    # across host threads (the reference's per-contig ThreadPool,
+    # winSketch.hpp:165) when -t > 1.
+    def one_contig(args):
+        (seq_id, r, st), theta = args
         valid = r != winnow.RSENT
         (ph, pb, pe), (mh, mb, me, ms) = contig_minmer_intervals(
             r, valid, st, theta, span, n_flush=len(r),
             sent=winnow.RSENT)
+        mh, mb, me, ms = _chunk_long_intervals(
+            mh, mb, me, ms, window_size)
+        o = np.lexsort((me, mb))
+        return seq_id, (ph, pb, pe), (mh[o], mb[o], me[o], ms[o])
+
+    work = list(zip(per_contig, thetas))
+    if threads > 1 and len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            results = list(ex.map(one_contig, work))
+    else:
+        results = [one_contig(w) for w in work]
+
+    for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
         acc_hash.append(ph)
         acc_wb.append(pb)
         acc_we.append(pe)
         acc_seq.append(np.full(len(ph), seq_id, np.int32))
-
-        mh, mb, me, ms = _chunk_long_intervals(mh, mb, me, ms, window_size)
-        o = np.lexsort((me, mb))
-        acc_mh.append(mh[o])
-        acc_mb.append(mb[o])
-        acc_me.append(me[o])
-        acc_ms.append(ms[o])
+        acc_mh.append(mh)
+        acc_mb.append(mb)
+        acc_me.append(me)
+        acc_ms.append(ms)
         acc_mseq.append(np.full(len(mh), seq_id, np.int32))
 
     def _cat(parts, dtype):
