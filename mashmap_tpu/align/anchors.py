@@ -59,17 +59,21 @@ def _lis_chain(qpos: np.ndarray, rpos: np.ndarray) -> np.ndarray:
     """Indices of the longest chain with qpos and rpos both increasing.
 
     qpos must already be strictly increasing (unique anchors sorted by
-    query position); patience LIS on rpos, O(n log n).
+    query position); patience LIS on rpos, O(n log n) via bisect (an
+    array rebuild per step would be quadratic — megabase regions carry
+    hundreds of thousands of anchors).
     """
+    import bisect
+
     n = len(rpos)
     if n == 0:
         return np.zeros(0, np.int64)
+    rl = rpos.tolist()
     tails: list[int] = []       # index of smallest tail rpos per length
     prev = np.full(n, -1, np.int64)
     tail_r: list[int] = []
-    for i in range(n):
-        v = rpos[i]
-        j = np.searchsorted(np.asarray(tail_r), v)
+    for i, v in enumerate(rl):
+        j = bisect.bisect_left(tail_r, v)
         if j == len(tails):
             tails.append(i)
             tail_r.append(v)

@@ -211,6 +211,39 @@ def _band_lo(piece: _Piece, W: int) -> int:
     return lo
 
 
+_DP_BACKEND: Optional[str] = None   # 'device' | 'host', picked by timing
+
+
+def _dp_rows(q, r, n, m, lo, fs, P, W):
+    """Banded DP rows via the faster of device kernel / host twin.
+
+    The rows must land on the host for traceback either way; on
+    tunneled TPUs the device->host transfer dominates, so the first
+    call times both implementations and the winner sticks.
+    """
+    global _DP_BACKEND
+    if _DP_BACKEND == "host":
+        return K.banded_dp_rows_host(q, r, n, m, lo, fs,
+                                     p_len=P, width=W)
+    if _DP_BACKEND == "device":
+        return np.asarray(K.banded_dp_rows(q, r, n, m, lo, fs,
+                                           p_len=P, width=W))
+    import time
+    t0 = time.time()
+    dev = np.asarray(K.banded_dp_rows(q, r, n, m, lo, fs,
+                                      p_len=P, width=W))
+    t_dev = time.time() - t0
+    t0 = time.time()
+    host = K.banded_dp_rows_host(q, r, n, m, lo, fs, p_len=P, width=W)
+    t_host = time.time() - t0
+    _DP_BACKEND = "device" if t_dev <= t_host else "host"
+    logger.info("align DP backend: %s (device %.2fs, host %.2fs)",
+                _DP_BACKEND, t_dev, t_host)
+    assert np.array_equal(dev, host), \
+        "device and host banded DP must agree"
+    return host
+
+
 def _run_bucket(pieces: Sequence[_Piece], P: int, W: int) -> list[_Piece]:
     """Run one (P, W) bucket; returns pieces needing escalation."""
     retry: list[_Piece] = []
@@ -229,8 +262,7 @@ def _run_bucket(pieces: Sequence[_Piece], P: int, W: int) -> list[_Piece]:
             n[b], m[b] = len(p.q), len(p.r)
             lo[b] = _band_lo(p, W)
             fs[b] = p.free_start
-        rows = np.asarray(K.banded_dp_rows(
-            q, r, n, m, lo, fs, p_len=P, width=W))
+        rows = _dp_rows(q, r, n, m, lo, fs, P, W)
         for b, p in enumerate(chunk):
             nn, mm = int(n[b]), int(m[b])
             lob = int(lo[b])

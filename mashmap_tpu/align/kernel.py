@@ -104,6 +104,44 @@ def banded_dp_rows(
     return jnp.transpose(rows, (1, 0, 2))               # (B, P+1, W)
 
 
+def banded_dp_rows_host(q, r, n, m, lo, free_start, *, p_len, width):
+    """numpy twin of `banded_dp_rows` (bit-identical rows).
+
+    The device kernel's output must cross back to the host for the
+    traceback; on links where that transfer is the bottleneck (tunneled
+    TPU: ~4-17 MB/s) this vectorized host sweep wins outright. The
+    driver times both on the first batch and picks one.
+    """
+    B = q.shape[0]
+    INF32 = np.int32(1 << 20)
+    rows = np.empty((B, p_len + 1, width), np.uint16)
+    c = np.arange(width, dtype=np.int32)
+    j0 = lo[:, None] + c
+    row = np.where((j0 >= 0) & (j0 <= m[:, None]),
+                   np.where(free_start[:, None], 0, j0),
+                   INF32).astype(np.int32)
+    rows[:, 0] = np.minimum(row, CAP)
+    bidx = np.arange(B)[:, None]
+    rr = r.astype(np.int32)
+    for i in range(1, p_len + 1):
+        j = i + lo[:, None] + c
+        rj = rr[bidx, np.clip(j - 1, 0, r.shape[1] - 1)]
+        sub = (q[:, i - 1][:, None] != rj).astype(np.int32)
+        diag = row + sub
+        up = np.concatenate(
+            [row[:, 1:], np.full((B, 1), INF32)], axis=1) + 1
+        M = np.minimum(diag, up)
+        at_j0 = j == 0
+        M = np.where(at_j0, up, M)
+        valid = (j >= 1) & (j <= m[:, None])
+        M = np.where(valid | at_j0, M, INF32)
+        t = np.minimum.accumulate(M - c, axis=1)
+        row = np.minimum(t + c, INF32)
+        row = np.where((j >= 0) & (j <= m[:, None]), row, INF32)
+        rows[:, i] = np.minimum(row, CAP)
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # host-side reference DP + traceback
 # ---------------------------------------------------------------------------
