@@ -228,27 +228,37 @@ def _dp_rows(q, r, n, m, lo, fs, P, W):
     if _DP_BACKEND == "device":
         return np.asarray(K.banded_dp_rows(q, r, n, m, lo, fs,
                                            p_len=P, width=W))
+    # probe on a slice — a full-batch device probe can cost tens of
+    # seconds of transfer alone on a bad link. Both costs scale ~linearly
+    # with batch size; the device must win clearly (2x) to be chosen,
+    # because its transfer time is volatile while the host sweep is
+    # predictable.
     import time
+    k = min(128, q.shape[0])
     t0 = time.time()
-    dev = np.asarray(K.banded_dp_rows(q, r, n, m, lo, fs,
-                                      p_len=P, width=W))
+    dev = np.asarray(K.banded_dp_rows(
+        q[:k], r[:k], n[:k], m[:k], lo[:k], fs[:k], p_len=P, width=W))
     t_dev = time.time() - t0
     t0 = time.time()
-    host = K.banded_dp_rows_host(q, r, n, m, lo, fs, p_len=P, width=W)
+    host = K.banded_dp_rows_host(
+        q[:k], r[:k], n[:k], m[:k], lo[:k], fs[:k], p_len=P, width=W)
     t_host = time.time() - t0
-    _DP_BACKEND = "device" if t_dev <= t_host else "host"
+    _DP_BACKEND = "device" if t_dev * 2 <= t_host else "host"
     logger.info("align DP backend: %s (device %.2fs, host %.2fs)",
                 _DP_BACKEND, t_dev, t_host)
     assert np.array_equal(dev, host), \
         "device and host banded DP must agree"
-    return host
+    return _dp_rows(q, r, n, m, lo, fs, P, W)
 
 
 def _run_bucket(pieces: Sequence[_Piece], P: int, W: int) -> list[_Piece]:
     """Run one (P, W) bucket; returns pieces needing escalation."""
     retry: list[_Piece] = []
-    for ofs in range(0, len(pieces), BATCH):
-        chunk = pieces[ofs:ofs + BATCH]
+    # bigger batches amortize the host DP's per-row-iteration overhead;
+    # the device path keeps moderate batches (transfer-sized)
+    batch = BATCH * 8 if _DP_BACKEND == "host" else BATCH
+    for ofs in range(0, len(pieces), batch):
+        chunk = pieces[ofs:ofs + batch]
         B = len(chunk)
         q = np.zeros((B, P), np.uint8)
         r = np.zeros((B, P + W), np.uint8)
@@ -263,36 +273,39 @@ def _run_bucket(pieces: Sequence[_Piece], P: int, W: int) -> list[_Piece]:
             lo[b] = _band_lo(p, W)
             fs[b] = p.free_start
         rows = _dp_rows(q, r, n, m, lo, fs, P, W)
-        for b, p in enumerate(chunk):
-            nn, mm = int(n[b]), int(m[b])
-            lob = int(lo[b])
-            row_n = rows[b, nn].astype(np.int32)
-            cc = np.arange(W) + nn + lob          # j of each band column
-            valid = (cc >= 0) & (cc <= mm)
-            row_n = np.where(valid, row_n, K.CAP)
-            if p.free_end:
-                c_end = int(np.argmin(row_n))
-            else:
-                c_end = mm - nn - lob
-                if not (0 <= c_end < W):
-                    p.min_w = 2 * W
-                    retry.append(p)
-                    continue
-            e = int(row_n[c_end])
-            # escalation test: any path cheaper than e deviates < e from
-            # the end diagonals, so if the band slack on both sides is
-            # >= e the result is provably optimal; otherwise widen.
-            d = mm - nn
-            slack_lo = min(0, d) - lob
-            slack_hi = (lob + W - 1) - max(0, d)
-            if e >= K.CAP or e > min(slack_lo, slack_hi):
-                p.min_w = 2 * W
-                retry.append(p)
-                continue
-            end_j = mm if not p.free_end else int(cc[c_end])
-            ops, start_j = K.traceback_band(
-                rows[b], p.q, p.r, nn, mm, lob, p.free_start, end_j)
-            p.ops, p.start_j, p.end_j, p.edit = ops, start_j, end_j, e
+
+        # vectorized end-state extraction + escalation test
+        row_n = rows[np.arange(B), n].astype(np.int32)   # (B, W)
+        cc = np.arange(W)[None, :] + (n + lo)[:, None]   # j per column
+        row_n = np.where((cc >= 0) & (cc <= m[:, None]), row_n, K.CAP)
+        fe = np.array([p.free_end for p in chunk])
+        c_end = np.where(fe, np.argmin(row_n, axis=1), m - n - lo)
+        in_band = (c_end >= 0) & (c_end < W)
+        e = np.where(in_band,
+                     row_n[np.arange(B), np.clip(c_end, 0, W - 1)],
+                     K.CAP)
+        d = m - n
+        slack = np.minimum(np.minimum(0, d) - lo,
+                           (lo + W - 1) - np.maximum(0, d))
+        # any path cheaper than e deviates < e from the end diagonals,
+        # so band slack >= e proves optimality; otherwise widen
+        ok = in_band & (e < K.CAP) & (e <= slack)
+        for b in np.nonzero(~ok)[0]:
+            chunk[b].min_w = 2 * W
+            retry.append(chunk[b])
+
+        sel = np.nonzero(ok)[0]
+        if len(sel):
+            end_j = np.where(fe, c_end + n + lo, m)[sel]
+            ops_list, start_j = K.traceback_batch(
+                rows[sel], q[sel], r[sel], n[sel], m[sel], lo[sel],
+                fs[sel], end_j)
+            for k_, b in enumerate(sel):
+                p = chunk[b]
+                p.ops = ops_list[k_]
+                p.start_j = int(start_j[k_])
+                p.end_j = int(end_j[k_])
+                p.edit = int(e[b])
     return retry
 
 

@@ -168,6 +168,67 @@ def full_dp_host(q: np.ndarray, r: np.ndarray,
     return D
 
 
+def traceback_batch(rows, q, r, n, m, lo, free_start, end_j):
+    """Vectorized traceback for a whole bucket batch at once.
+
+    Walks every piece's band in lockstep (the per-piece python walk was
+    the align stage's bottleneck at production scale). Preference order
+    matches `traceback_band`: diagonal (match/sub), then up (query-only,
+    'I'), then left (target-only, 'D').
+
+    Returns (ops_list, start_j_array): ops in forward order per piece.
+    """
+    B, _, W = rows.shape
+    maxlen = rows.shape[1] + W + 1
+    bidx = np.arange(B)
+    i = n.astype(np.int64).copy()
+    j = end_j.astype(np.int64).copy()
+    ops_rev = np.full((B, maxlen), 255, np.uint8)
+    pos = np.zeros(B, np.int64)
+    rr = r.astype(np.int16)
+    qq = q.astype(np.int16)
+
+    for _ in range(maxlen):
+        active = i > 0
+        if not active.any():
+            break
+        a = np.nonzero(active)[0]
+        ia, ja = i[a], j[a]
+        c = (ja - ia - lo[a]).astype(np.int64)
+        v = rows[a, ia, c].astype(np.int32)
+        jpos = np.maximum(ja - 1, 0)
+        sub = (qq[a, ia - 1] != rr[a, jpos]).astype(np.int32)
+        dv = rows[a, ia - 1, c].astype(np.int32)
+        diag = (ja >= 1) & (dv + sub == v)
+        cu = np.minimum(c + 1, W - 1)
+        uv = rows[a, ia - 1, cu].astype(np.int32)
+        up = ~diag & (c + 1 < W) & (uv + 1 == v)
+        cl = np.maximum(c - 1, 0)
+        lv = rows[a, ia, cl].astype(np.int32)
+        left = ~diag & ~up & (c >= 1) & (ja >= 1) & (lv + 1 == v)
+        if not (diag | up | left).all():
+            bad = a[~(diag | up | left)]
+            raise AssertionError(
+                f"traceback dead end in pieces {bad[:4]} (band too "
+                f"narrow?)")
+        op = np.where(diag, np.where(sub == 1, OP_SUB, OP_MATCH),
+                      np.where(up, OP_INS, OP_DEL)).astype(np.uint8)
+        ops_rev[a, pos[a]] = op
+        pos[a] += 1
+        i[a] = ia - (diag | up)
+        j[a] = ja - (diag | left)
+
+    ops_list = []
+    for b in range(B):
+        o = ops_rev[b, :pos[b]][::-1]
+        if not free_start[b] and j[b] > 0:
+            o = np.concatenate(
+                [np.full(j[b], OP_DEL, np.uint8), o])
+            j[b] = 0
+        ops_list.append(np.ascontiguousarray(o))
+    return ops_list, j.astype(np.int64)
+
+
 # op codes, matching edlib's move codes (src/common/edlib.h:69-72).
 # Letter semantics verified EMPIRICALLY against the reference binary's
 # output (the edlib.h comments invert them): in the emitted CIGAR,
