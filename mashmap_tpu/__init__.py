@@ -46,3 +46,17 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 __version__ = "0.1.0"
 
 from .params import Parameters, FIXED  # noqa: E402,F401
+
+
+def map_files(params, index=None):
+    """Library entry point: build/load the index and map the queries.
+
+    See api.map_files; imported lazily so `import mashmap_tpu` stays
+    cheap."""
+    from .api import map_files as _mf
+    return _mf(params, index)
+
+
+def build_or_load_index(params):
+    from .api import build_or_load_index as _b
+    return _b(params)
