@@ -181,7 +181,12 @@ def contig_minmer_intervals(
     th_W = theta[1:n_w]                                # theta[W]
     th_Wm1 = theta[:n_w - 1]                           # theta[W - 1]
     newly = valid[s_b:n_w + s_b - 1] & (prev_occ[s_b:n_w + s_b - 1] < W)
-    begin1 = newly & (h_in <= th_W)
+    # same-hash occurrences exactly s_b apart: the previous occurrence
+    # is the position leaving window W, so the hash stays continuously
+    # present — if it was already a member at W-1, no begin event (the
+    # reference's window map keeps one open interval in this case)
+    stayed = (prev_occ[s_b:n_w + s_b - 1] == W - 1) & (h_in <= th_Wm1)
+    begin1 = newly & (h_in <= th_W) & ~stayed
     h_out = h[:n_w - 1]                                # h[W - 1]
     lost = valid[:n_w - 1] & \
         (next_occ[:n_w - 1].astype(np.int64) > W.astype(np.int64)
@@ -238,11 +243,29 @@ def contig_minmer_intervals(
     # (by construction, within each hash begins and ends interleave:
     #  b_0 < e_0 <= b_1 < e_1 ... — validated in tests)
 
-    # --- strand vote events & sign-class splits -------------------------
+    # --- member occurrences (inputs of the strand machinery) ----------
     # only occurrences of hashes that have membership intervals matter
     member_occ = np.isin(sh, uh)
     mp, mh = sp[member_occ], sh[member_occ]
     md = strand[mp].astype(np.int64)
+
+    s_hash, s_wb, s_we, s_strand = strand_classify(
+        iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k, h.dtype)
+    return (iv_hash, iv_wb, iv_we), (s_hash, s_wb, s_we, s_strand)
+
+
+def strand_classify(iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k,
+                    hash_dtype=np.int32):
+    """Strand vote events & sign-class interval splits (host, sparse).
+
+    Part B of `contig_minmer_intervals`: consumes the membership
+    intervals plus the member-hash occurrence list (position, hash,
+    strand ±1, sorted by (hash, pos)) — both tiny relative to the
+    contig — and classifies every interval segment by the sign of the
+    aggregate strand vote (reference: commonFunc.hpp:394-437 strand
+    bookkeeping). Shared by the host path and the device events kernel
+    (kernels/events.py), whose fetch provides exactly these arrays.
+    """
     # enter events at max(0, p-s_b+1); leave events at p+1 (if < n_w)
     ent_W = np.maximum(mp - s_b + 1, 0)
     has_leave = (mp + 1) < n_w
@@ -326,12 +349,12 @@ def contig_minmer_intervals(
         s_strand.append(
             np.where(v_fin[keep_fin] < 0, REV, FWD).astype(np.int8))
 
-    s_hash = np.concatenate(s_hash).astype(h.dtype)
+    s_hash = np.concatenate(s_hash).astype(hash_dtype)
     s_wb = np.concatenate(s_wb).astype(np.int64)
     s_we = np.concatenate(s_we).astype(np.int64)
     s_strand = np.concatenate(s_strand).astype(np.int8)
 
-    return (iv_hash, iv_wb, iv_we), (s_hash, s_wb, s_we, s_strand)
+    return s_hash, s_wb, s_we, s_strand
 
 
 def _chunk_long_intervals(hash_, wb, we, strand, window_size: int):
@@ -580,7 +603,90 @@ def build_index(
     hashed_any = bool(spans_c)
     lut_dev = None
     uniq_host = None
-    if hashed_any and not host_mode:
+    use_device_events = (
+        not host_mode
+        and os.environ.get("MASHMAP_TPU_DEVICE_EVENTS", "1") != "0")
+    if hashed_any and not host_mode and use_device_events:
+        # ---- phase 2+3+4 (device): rank reduction, theta scan and
+        # membership-event extraction all stay on the device; the only
+        # fetch is the packed SPARSE event buffers (intervals + member
+        # occurrences), ~10x smaller than the dense ranks+strands.
+        hm = jnp.concatenate([
+            jnp.where(v, h, winnow.SENTINEL)
+            for h, v in zip(slab_h, slab_valid)])
+        total = int(hm.shape[0])
+        padded = _pad_len(total)
+        if padded > total:
+            hm = jnp.concatenate([
+                hm, jnp.full(padded - total, winnow.SENTINEL, jnp.uint64)])
+        ranks_dev, lut_dev = winnow._rank_reduce(hm)
+        st_dev = jnp.concatenate(slab_st)
+        del slab_h, slab_st, slab_valid
+
+        def slab_views_dev(arr, start, n):
+            pieces = []
+            got = 0
+            off = start
+            while got < n:
+                take = min(_HASH_SLAB, n - got)
+                slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
+                pieces.append(arr[off:off + take])
+                off += slab_len
+                got += take
+            return pieces[0] if len(pieces) == 1 else \
+                jnp.concatenate(pieces)
+
+        rank_views = [slab_views_dev(ranks_dev, start, n)
+                      for _, start, n in spans_c]
+        st_views = [slab_views_dev(st_dev, start, n)
+                    for _, start, n in spans_c]
+        thetas_dev = winnow.theta_scan_ranks_jax(
+            rank_views, sketch_size, span)
+
+        from ..kernels import events as events_mod
+        bufs, meta_ev = [], []
+        for i, (seq_id, start, n) in enumerate(spans_c):
+            th = thetas_dev[i]
+            if th is None:
+                continue
+            n_w = n - span + 1
+            Np = _pad_len(n)
+            rv = rank_views[i]
+            sv = st_views[i]
+            if Np > n:
+                rv = jnp.concatenate(
+                    [rv, jnp.full(Np - n, winnow.RSENT, jnp.int32)])
+                sv = jnp.concatenate([sv, jnp.zeros(Np - n, jnp.int8)])
+            th = jnp.concatenate(
+                [th, jnp.full(Np - n_w, winnow.RSENT, jnp.int32)])
+            iv_cap = max(1 << 12, Np >> events_mod.IV_CAP_SHIFT)
+            mem_cap = max(1 << 12, Np >> events_mod.MEM_CAP_SHIFT)
+            bufs.append(events_mod.events_step(
+                rv, sv, th, np.int32(n), np.int32(n_w), span,
+                iv_cap, mem_cap))
+            meta_ev.append((i, seq_id, n, n_w, iv_cap, mem_cap,
+                            len(bufs[-1])))
+        all_buf = (jax.device_get(jnp.concatenate(bufs))
+                   if bufs else np.empty(0, np.int32))
+
+        per_contig, thetas = [], []   # host-fallback list (overflows)
+        ev_results = []               # (seq_id, n, n_w, unpacked)
+        off = 0
+        for (i, seq_id, n, n_w, iv_cap, mem_cap, blen) in meta_ev:
+            got = events_mod.unpack_events(
+                all_buf[off:off + blen], iv_cap, mem_cap)
+            off += blen
+            if got is None:   # cap overflow: dense host fallback
+                logger.info(
+                    "contig %d overflowed the event caps; host fallback",
+                    seq_id)
+                r_host = np.asarray(rank_views[i])
+                s_host = np.asarray(st_views[i])
+                per_contig.append((seq_id, r_host, s_host))
+                thetas.append(np.asarray(thetas_dev[i]))
+            else:
+                ev_results.append((seq_id, n, n_w, got))
+    elif hashed_any and not host_mode:
         # ---- phase 2 (device): global rank reduction; fetch ONLY the
         # compact int32 ranks + strands (one transfer)
         hm = jnp.concatenate([
@@ -599,6 +705,7 @@ def build_index(
             (seq_id, slab_views(ranks_all, start, n),
              slab_views(st_all, start, n))
             for seq_id, start, n in spans_c]
+        ev_results = []
         thetas = winnow.theta_scan_ranks(
             [r for _, r, _ in per_contig], sketch_size, span)
     elif hashed_any:
@@ -614,10 +721,11 @@ def build_index(
         per_contig = [
             (seq_id, rank_list[i], slab_views(st_all, start, n))
             for i, (seq_id, start, n) in enumerate(spans_c)]
+        ev_results = []
         thetas = winnow.theta_scan_ranks(
             [r for _, r, _ in per_contig], sketch_size, span)
     else:
-        per_contig, thetas = [], []
+        per_contig, thetas, ev_results = [], [], []
 
     # ---- phase 4: membership events per contig (host, vectorized, all
     # in the int32 rank domain; u64 hashes are resolved at the end).
@@ -635,13 +743,30 @@ def build_index(
         o = np.lexsort((me, mb))
         return seq_id, (ph, pb, pe), (mh[o], mb[o], me[o], ms[o])
 
+    def one_contig_events(args):
+        """Part B (sparse strand machinery) over a device-event fetch."""
+        seq_id, n, n_w, (iv_rank, iv_wb, iv_we, mp, mh_occ, md) = args
+        iv_we = np.where(iv_we < 0, n, iv_we)   # -1 => flush at n_k
+        mh, mb, me, ms = strand_classify(
+            iv_rank, iv_wb, iv_we, mp, mh_occ, md, n_w, span, n,
+            np.int32)
+        mh, mb, me, ms = _chunk_long_intervals(
+            mh, mb, me, ms, window_size)
+        o = np.lexsort((me, mb))
+        return seq_id, (iv_rank, iv_wb, iv_we), (mh[o], mb[o], me[o],
+                                                 ms[o])
+
     work = list(zip(per_contig, thetas))
-    if threads > 1 and len(work) > 1:
+    if threads > 1 and (len(work) > 1 or len(ev_results) > 1):
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=threads) as ex:
             results = list(ex.map(one_contig, work))
+            results += list(ex.map(one_contig_events, ev_results))
     else:
         results = [one_contig(w) for w in work]
+        results += [one_contig_events(e) for e in ev_results]
+    # contig order determines the interval table's (seqid, wpos) sort
+    results.sort(key=lambda t: t[0])
 
     for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
         acc_hash.append(ph)

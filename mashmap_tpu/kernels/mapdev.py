@@ -177,7 +177,7 @@ def sweep_and_candidates(g_seq, g_wp, g_we, valid_j, s_q, min_hits,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
             post_wend, is_frequent, min_hits_table, cutoff_table,
-            allowed, ref_group, cfg: L1Config):
+            allowed, ref_group, mi_key, cfg: L1Config):
     """Fragment batch -> sketches + L1 candidate regions.
 
     Args:
@@ -188,6 +188,9 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
       allowed: (B, n_contigs) bool — per-fragment admissible reference
         sequences (skip_self / skip_prefix / lower_triangular masks,
         computeMap.hpp:887-894).
+      mi_key: (M,) int64 packed (seqid << 32 | wpos) interval-table sort
+        keys — the l1->l2 slice bounds (searchsorted) run here so the
+        host never touches the big key array.
       cfg: static shape configuration.
 
     Returns dict of per-fragment sketches, candidates, and overflow flags.
@@ -257,7 +260,10 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
         g_seq, g_wp, g_we, valid_j, s_q, min_hits, ref_group,
         cutoff_table, cfg)
 
-    # pack EVERYTHING into ONE (B, 4+4C+3s) i32 buffer: on tunneled TPU
+    c_lo, c_mid, c_hi = l2_slice_bounds(
+        mi_key, c_seq, c_first, c_last, cfg.seg_length)
+
+    # pack EVERYTHING into ONE (B, 4+7C+3s) i32 buffer: on tunneled TPU
     # backends every device->host array fetch pays ~300ms of latency, so
     # one fetch per batch beats one per output. u64 sketch hashes ride
     # as two i32 lanes; complexity rides as its f32 bit pattern.
@@ -268,15 +274,33 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
         (overflow_l1 | overflow_c).astype(jnp.int32)[:, None],
         jax.lax.bitcast_convert_type(
             q_cx.astype(jnp.float32), jnp.int32)[:, None],
-        c_seq, c_first, c_last, c_inter,
+        c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi,
         qh32, q_strand_c.astype(jnp.int32)], axis=1)
     return meta
+
+
+def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
+    """Interval-table slice bounds per L1 candidate (device searchsorted).
+
+    Replaces the host's per-candidate np.searchsorted over the packed
+    (seqid << 32 | wpos) key array (computeL2MappedRegions's
+    minmerIndex range lookup, computeMap.hpp:1283-1294).
+    """
+    seq64 = c_seq.astype(jnp.int64) << 32
+    lo_k = seq64 | jnp.maximum(
+        0, c_first.astype(jnp.int64) - seg_length - 1)
+    mid_k = seq64 | jnp.maximum(0, c_first).astype(jnp.int64)
+    hi_k = seq64 | (c_last.astype(jnp.int64) + 1)
+    c_lo = jnp.searchsorted(mi_key, lo_k).astype(jnp.int32)
+    c_mid = jnp.searchsorted(mi_key, mid_k).astype(jnp.int32)
+    c_hi = jnp.searchsorted(mi_key, hi_k).astype(jnp.int32)
+    return c_lo, c_mid, c_hi
 
 
 def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
     """Host-side view splitter for l1_step's packed output buffer."""
     C = c_cap
-    o = 4 + 4 * C
+    o = 4 + 7 * C
     qh = np.ascontiguousarray(
         meta[:, o:o + 2 * s]).view(np.uint32).astype(
         np.uint64).reshape(-1, s, 2)
@@ -290,6 +314,9 @@ def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
         "cand_start": meta[:, 4 + C:4 + 2 * C],
         "cand_end": meta[:, 4 + 2 * C:4 + 3 * C],
         "cand_inter": meta[:, 4 + 3 * C:4 + 4 * C],
+        "cand_lo": meta[:, 4 + 4 * C:4 + 5 * C],
+        "cand_mid": meta[:, 4 + 5 * C:4 + 6 * C],
+        "cand_hi": meta[:, 4 + 6 * C:4 + 7 * C],
         "q_hash": qh[:, :, 0] | (qh[:, :, 1] << np.uint64(32)),
         "q_strand": meta[:, o + 2 * s:o + 3 * s].astype(np.int8),
     }

@@ -63,29 +63,30 @@ def _insert_bottom_s(state: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
-    """s-th smallest distinct of two sorted RSENT-padded (C, s) rank sets.
+    """s-th smallest distinct of two sorted RSENT-padded (..., s) rank sets.
 
     Scatter/sort-free rank counting (scatters and sorts serialize on the
     VPU; this is pure elementwise + small reductions): for a candidate
     value x, its distinct-union rank is
         f(x) = #A<=x + #B<=x - #dup<=x,
     and theta is the smallest candidate with f(x) == s. The #<=
-    counts come from an (C, s, s) comparison cube of int32 ranks — dense
-    native-dtype VPU work with no gathers.
+    counts come from an (..., s, s) comparison cube of int32 ranks — dense
+    native-dtype VPU work with no gathers; XLA fuses the compare into the
+    reduction, so the cube is never materialized.
     """
     valid_a = a != RSENT
     valid_b = b != RSENT
-    # cmp[c, i, j] over candidate i of one set vs elements j of the other
-    le_ba = (b[:, None, :] <= a[:, :, None]) & valid_b[:, None, :]
-    eq_ba = (b[:, None, :] == a[:, :, None]) & valid_b[:, None, :]
+    # cmp[..., i, j] over candidate i of one set vs elements j of the other
+    le_ba = (b[..., None, :] <= a[..., :, None]) & valid_b[..., None, :]
+    eq_ba = (b[..., None, :] == a[..., :, None]) & valid_b[..., None, :]
     rB_a = jnp.sum(le_ba, axis=-1)                    # #B <= a_i
     dup_a = jnp.any(eq_ba, axis=-1)                   # a_i in B
     csum_dup_a = jnp.cumsum(dup_a.astype(jnp.int32), axis=-1)
-    i = jnp.arange(1, s + 1, dtype=jnp.int32)[None, :]
+    i = jnp.arange(1, s + 1, dtype=jnp.int32)
     f_a = i + rB_a - csum_dup_a                       # distinct rank of a_i
 
-    le_ab = (a[:, None, :] <= b[:, :, None]) & valid_a[:, None, :]
-    eq_ab = (a[:, None, :] == b[:, :, None]) & valid_a[:, None, :]
+    le_ab = (a[..., None, :] <= b[..., :, None]) & valid_a[..., None, :]
+    eq_ab = (a[..., None, :] == b[..., :, None]) & valid_a[..., None, :]
     rA_b = jnp.sum(le_ab, axis=-1)
     dup_b = jnp.any(eq_ab, axis=-1)
     csum_dup_b = jnp.cumsum(dup_b.astype(jnp.int32), axis=-1)
@@ -96,11 +97,15 @@ def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
     return jnp.minimum(th_a, th_b)
 
 
-# scan-body unroll factor. Measured on v5e: U=4 buys only ~7% runtime
-# (the scan is HBM-bandwidth-bound, not dispatch-bound) while multiplying
-# XLA compile time ~6x, so it stays at 1; the machinery remains for
-# platforms where per-step overhead dominates.
-_SCAN_UNROLL = 1
+# scan-body unroll factor. With the theta merge hoisted OUT of the scan
+# (see _theta_chunk), scan steps are tiny (C, s) insert updates whose
+# cost is per-step dispatch overhead, so unrolling several offsets per
+# lax.scan step is a direct win.
+_SCAN_UNROLL = 4
+
+# offsets merged per lax.map step in the batched theta merge: bounds the
+# (MERGE_BLOCK * C, s, s) comparison-cube working set XLA tiles over.
+_MERGE_BLOCK = 64
 
 
 @functools.partial(jax.jit, static_argnames=("s", "s_b"))
@@ -114,9 +119,12 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
     Returns:
       theta: (C, S_B) int32; theta[c, j] for window W = b_c * S_B + j.
 
-    The scans are unrolled U offsets per lax.scan step: per-step
-    dispatch overhead (not FLOPs) dominates at realistic widths, so
-    fewer, fatter steps are faster.
+    Structure: the two lax.scans over the in-block offset carry ONLY the
+    (C, s) bottom-s insert state (cheap, serial), materializing suffix
+    and prefix sketch stacks; the O(s^2) theta merge — the expensive
+    part — then runs once, fully parallel over ALL (offset, block) pairs
+    via lax.map, where XLA tiles it at full VPU/HBM throughput instead
+    of serializing it into the scan.
     """
     C = cur.shape[0]
     U = _SCAN_UNROLL
@@ -138,38 +146,48 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
         return state, jnp.stack(outs)
 
     _, suf_rev = jax.lax.scan(suf_step, init, cur_rev)
-    suf = suf_rev.reshape(s_b_p, C, s)[::-1]  # suf[j] = bottom-s of cur[:, j:]
+    # suf_rev[j'] = bottom-s of cur[:, s_b_p-1-j':]
 
-    # prefix sketches of `nxt` + merge: at step j the carried state is the
-    # sketch of nxt[:, :j] (insert AFTER emitting theta_j).
-    suf_u = suf.reshape(s_b_p // U, U, C, s)
+    # prefix sketches of `nxt`: pre[j] = bottom-s of nxt[:, :j]
+    # (state BEFORE inserting offset j)
     nxt_u = nxt.T.reshape(s_b_p // U, U, C)
 
-    def pre_step(state, xs):
-        suf_j, vs = xs
-        thetas = []
+    def pre_step(state, vs):
+        outs = []
         for u in range(U):
-            thetas.append(_merge_theta(suf_j[u], state, s))
+            outs.append(state)
             state = _insert_bottom_s(state, vs[u])
-        return state, jnp.stack(thetas)
+        return state, jnp.stack(outs)
 
-    _, theta = jax.lax.scan(pre_step, init, (suf_u, nxt_u))
-    return theta.reshape(s_b_p, C)[:s_b].T  # (C, S_B)
+    _, pre = jax.lax.scan(pre_step, init, nxt_u)
+    pre = pre.reshape(s_b_p, C, s)
+
+    # batched merge: theta[j] = s-th distinct smallest of suf[j] U pre[j].
+    # Pair suf_rev (reversed) with pre reversed on the offset axis, then
+    # flip the (small) theta output instead of either (big) stack.
+    pre_rev = pre[::-1]
+    suf_rev = suf_rev.reshape(s_b_p, C, s)
+
+    theta_rev = jax.lax.map(
+        lambda ab: _merge_theta(ab[0], ab[1], s),
+        (suf_rev, pre_rev), batch_size=_MERGE_BLOCK)
+    return theta_rev[::-1][:s_b].T  # (C, S_B)
 
 
 def _default_chunk_bytes() -> int:
-    """Pick the suffix-sketch materialization budget by platform.
+    """Pick the sketch-stack materialization budget by platform.
 
-    The scan is sequential in the window offset, so fewer/wider chunks
+    The scans are sequential in the window offset, so fewer/wider chunks
     amortize the 2*S_B serial steps over more block rows; the budget
-    bounds the (S_B, C, s) suffix-sketch stack in HBM.
+    bounds the live (S_B, C, s) sketch stacks (suffix + prefix + one
+    flip copy ~= 3 stacks) in HBM.
     """
     try:
         if jax.devices()[0].platform == "cpu":
             return 256 << 20
     except Exception:
         pass
-    return 6 << 30  # TPU (16G HBM): bigger chunks => fewer serial scans
+    return 12 << 30  # TPU (16G HBM): bigger chunks => fewer serial scans
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -209,7 +227,7 @@ def _theta_chunk_rows(s: int, s_b: int) -> int:
         cpu = True
     rows = THETA_CHUNK_ROWS_CPU if cpu else THETA_CHUNK_ROWS_TPU
     budget = _default_chunk_bytes()
-    per_row = s_b * max(s, 1) * 4
+    per_row = s_b * max(s, 1) * 4 * 3   # suffix + prefix + flip copy
     while rows > 8 and rows * per_row > budget:
         rows //= 2
     return rows
@@ -299,6 +317,79 @@ def _pallas_theta_usable() -> bool:
     except Exception:
         pass
     return ok
+
+
+def theta_scan_ranks_jax(
+    rank_list,
+    s: int,
+    window_span: int,
+):
+    """Device-resident theta scan: per-contig device rank arrays in,
+    per-contig device theta arrays out (None where n_w <= 0).
+
+    Same block decomposition as `theta_scan_ranks`, but nothing crosses
+    the device->host link — the membership-event kernel
+    (kernels/events.py) consumes theta in place.
+    """
+    import jax.numpy as jnp
+    s_b = int(window_span)
+    cur_rows, nxt_rows, spans = [], [], []
+    row0 = 0
+    for r in rank_list:
+        n_k = int(r.shape[0])
+        n_w = n_k - s_b + 1
+        if n_w <= 0:
+            spans.append(None)
+            continue
+        n_blocks = -(-n_k // s_b)
+        pad = n_blocks * s_b - n_k
+        if pad:
+            r = jnp.concatenate(
+                [r, jnp.full(pad, RSENT, jnp.int32)])
+        blocks = r.reshape(n_blocks, s_b)
+        nxt = jnp.concatenate(
+            [blocks[1:], jnp.full((1, s_b), RSENT, jnp.int32)], axis=0)
+        cur_rows.append(blocks)
+        nxt_rows.append(nxt)
+        spans.append((row0, n_blocks, n_w))
+        row0 += n_blocks
+    if not cur_rows:
+        return [None for _ in spans]
+    cur = jnp.concatenate(cur_rows, axis=0)
+    nxt = jnp.concatenate(nxt_rows, axis=0)
+    n_total = int(cur.shape[0])
+
+    if _pallas_theta_usable():
+        from .winnow_pallas import theta_chunk_pallas, C_T
+        chunk_fn = functools.partial(theta_chunk_pallas, s=s, s_b=s_b)
+        row_mult = C_T
+    else:
+        chunk_fn = functools.partial(_theta_chunk, s=s, s_b=s_b)
+        row_mult = 8
+
+    chunk = _theta_chunk_rows(s, s_b)
+    chunk = min(chunk, 1 << max(3, (n_total - 1).bit_length()))
+    chunk = max(row_mult, chunk - chunk % row_mult)
+    pieces = []
+    for c0 in range(0, n_total, chunk):
+        c1 = min(c0 + chunk, n_total)
+        cc, nn = cur[c0:c1], nxt[c0:c1]
+        if c1 - c0 < chunk:
+            padr = jnp.full((chunk - (c1 - c0), s_b), RSENT, jnp.int32)
+            cc = jnp.concatenate([cc, padr])
+            nn = jnp.concatenate([nn, padr])
+        pieces.append(chunk_fn(cc, nn))
+    theta_rank = (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                  else pieces[0])
+
+    out = []
+    for sp in spans:
+        if sp is None:
+            out.append(None)
+            continue
+        r0, n_blocks, n_w = sp
+        out.append(theta_rank[r0:r0 + n_blocks].reshape(-1)[:n_w])
+    return out
 
 
 def theta_scan_ranks(
