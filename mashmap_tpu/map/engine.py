@@ -481,6 +481,10 @@ class Mapper:
         self._n_contigs_padded = NC
         po = padded(idx.post_offsets.astype(np.int32), U + 1,
                     np.int32(len(idx.post_seqid)))
+        # mi_key pads must sort AFTER every real key (searchsorted
+        # bounds must never land inside the pad region)
+        mi_key_pad = padded(self.mi_key, M,
+                            np.int64(0x7FFFFFFFFFFFFFFF))
         self._dev = {
             "uniq_hashes": put(padded(
                 idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
@@ -495,6 +499,7 @@ class Mapper:
             "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
             "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
             "mi_seqid": put(padded(idx.mi_seqid, M, np.int32(-1))),
+            "mi_key": put(mi_key_pad),
             "min_hits_table": put(mh_table),
             "cutoff_table": put(ct),
             "ref_group": put(padded(
@@ -584,7 +589,8 @@ class Mapper:
                 rep_put(matp), si.uniq, si.offsets, si.seqid, si.wpos,
                 si.wend, si.frequent, dev["min_hits_table"],
                 dev["cutoff_table"], rep_put(allowedp),
-                dev["ref_group"], cfg, self._mesh, si.p_shard)
+                dev["ref_group"], dev["mi_key"], cfg, self._mesh,
+                si.p_shard)
         else:
             out = l1_step(
                 self._put_batch(matp), dev["uniq_hashes"],
@@ -592,7 +598,8 @@ class Mapper:
                 dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
                 dev["is_frequent"], dev["min_hits_table"],
                 dev["cutoff_table"],
-                self._put_batch(allowedp), dev["ref_group"], cfg)
+                self._put_batch(allowedp), dev["ref_group"],
+                dev["mi_key"], cfg)
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
@@ -605,7 +612,8 @@ class Mapper:
             / max(1, frags[i].q_len - p.kmer_size + 1)
             for i in range(B)])
 
-        # L2 work items from device candidates
+        # L2 work items from device candidates (slice bounds were
+        # computed inside l1_step — no host searchsorted per candidate)
         work = []
         host_frags = set()
         for i, fr in enumerate(frags):
@@ -616,18 +624,9 @@ class Mapper:
                     or cx[i] < p.kmer_complexity_threshold:
                 continue
             for j in range(int(o["n_cand"][i])):
-                seq = int(o["cand_seq"][i, j])
-                rs = int(o["cand_start"][i, j])
-                re = int(o["cand_end"][i, j])
-                lo = int(np.searchsorted(
-                    self.mi_key, (np.int64(seq) << 32)
-                    | np.int64(max(0, rs - p.seg_length - 1))))
-                mid = int(np.searchsorted(
-                    self.mi_key,
-                    (np.int64(seq) << 32) | np.int64(max(0, rs))))
-                hi = int(np.searchsorted(
-                    self.mi_key, (np.int64(seq) << 32) | np.int64(re + 1)))
-                work.append((i, j, lo, mid, hi))
+                work.append((i, j, int(o["cand_lo"][i, j]),
+                             int(o["cand_mid"][i, j]),
+                             int(o["cand_hi"][i, j])))
 
         # bucket work items by interval-slice length; W*T stays constant
         # so device memory and compile shapes are bounded (3 shapes
@@ -647,8 +646,9 @@ class Mapper:
                 host_l2_set.add((w[0], w[1]))
         loci_by = {}
         from ..kernels.mapdev import unpack_l2_runs
-        # dispatch ALL chunks first (async), then fetch: device compute
-        # overlaps the serial ~300ms-latency fetches of earlier chunks
+        # dispatch ALL chunks first (async); every chunk's packed run
+        # buffer has the same width, so they concatenate device-side
+        # into ONE fetch (~300ms latency each on tunneled backends)
         pending = []
         for T, todo in buckets.items():
             W_STEP = max(8, AREA // T)
@@ -682,9 +682,17 @@ class Mapper:
                               dev["mi_wend"], dev["mi_strand"],
                               dev["mi_seqid"], T, p.sketch_size)
                 pending.append((chunk, buf))
+        if pending:
+            import jax.numpy as _jnp
+            all_runs = jax.device_get(
+                _jnp.concatenate([b for _, b in pending], axis=0)
+                if len(pending) > 1 else pending[0][1])
+        row0 = 0
         for chunk, buf in pending:
+            nrows = buf.shape[0]
             n_runs, best, r_ovf, starts, ends, strands = \
-                unpack_l2_runs(jax.device_get(buf))
+                unpack_l2_runs(all_runs[row0:row0 + nrows])
+            row0 += nrows
             for r, (i, j, lo, mid, hi) in enumerate(chunk):
                 if r_ovf[r]:
                     host_l2_set.add((i, j))

@@ -95,8 +95,8 @@ def build_sharded_index(idx, mesh: Mesh) -> ShardedIndex:
                    static_argnames=("cfg", "mesh", "p_shard"))
 def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
                     sidx_wend, sidx_freq, min_hits_table, cutoff_table,
-                    allowed, ref_group, cfg: L1Config, mesh: Mesh,
-                    p_shard: int):
+                    allowed, ref_group, mi_key, cfg: L1Config,
+                    mesh: Mesh, p_shard: int):
     """Hash-range-sharded l1_step: same packed output, different layout.
 
     Inputs except the sidx_* tables are replicated; fragments are owned
@@ -114,7 +114,7 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
     q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
 
     def body(q_hash, q_strand, q_cx, uniq_s, offs_s, pseq_s, pwp_s,
-             pwe_s, freq_s, allowed, ref_group, mh_table, ct):
+             pwe_s, freq_s, allowed, ref_group, mh_table, ct, mi_key):
         uniq_l = uniq_s[0]
         offs_l = offs_s[0]
         U_s = uniq_l.shape[0]
@@ -185,6 +185,10 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
             g_seq, g_wp, g_we, valid_all, rows(s_q), rows(min_hits),
             ref_group, ct, cfg)
 
+        from ..kernels.mapdev import l2_slice_bounds
+        c_lo, c_mid, c_hi = l2_slice_bounds(
+            mi_key, c_seq, c_first, c_last, cfg.seg_length)
+
         qh32 = jax.lax.bitcast_convert_type(
             rows(q_hash_c), jnp.uint32).reshape(Bl, 2 * s).astype(
             jnp.int32)
@@ -193,16 +197,17 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
             (rows(overflow_l1) | overflow_c).astype(jnp.int32)[:, None],
             jax.lax.bitcast_convert_type(
                 rows(q_cx).astype(jnp.float32), jnp.int32)[:, None],
-            c_seq, c_first, c_last, c_inter,
+            c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi,
             qh32, rows(q_strand_c).astype(jnp.int32)], axis=1)
         return meta
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
-                  P("data"), P("data"), P("data"), P(), P(), P(), P()),
+                  P("data"), P("data"), P("data"), P(), P(), P(), P(),
+                  P()),
         out_specs=P("data"),
         check_rep=False,
     )(q_hash, q_strand, q_cx, sidx_uniq, sidx_offs, sidx_seqid,
       sidx_wpos, sidx_wend, sidx_freq, allowed, ref_group,
-      min_hits_table, cutoff_table)
+      min_hits_table, cutoff_table, mi_key)

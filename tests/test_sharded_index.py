@@ -51,6 +51,8 @@ cfg = L1Config(k=k, s=s, seg_length=w, p_cap=512, c_cap=8, t_cap=128,
                table_scale=1.0, n_groups=8)
 allowed = np.ones((B, idx.n_contigs), bool)
 groups = np.zeros(idx.n_contigs, np.int32)
+mi_key = jnp.asarray((idx.mi_seqid.astype(np.int64) << 32)
+                     | idx.mi_wpos.astype(np.int64))
 
 rep = l1_step(
     jnp.asarray(frags), jnp.asarray(idx.uniq_hashes),
@@ -58,7 +60,7 @@ rep = l1_step(
     jnp.asarray(idx.post_seqid), jnp.asarray(idx.post_wpos),
     jnp.asarray(idx.post_wend), jnp.asarray(idx.is_frequent),
     jnp.asarray(mh), jnp.asarray(ct), jnp.asarray(allowed),
-    jnp.asarray(groups), cfg)
+    jnp.asarray(groups), mi_key, cfg)
 
 mesh = make_mesh(8)
 sidx = build_sharded_index(idx, mesh)
@@ -66,12 +68,13 @@ shd = l1_step_sharded(
     jnp.asarray(frags), sidx.uniq, sidx.offsets, sidx.seqid,
     sidx.wpos, sidx.wend, sidx.frequent, jnp.asarray(mh),
     jnp.asarray(ct), jnp.asarray(allowed), jnp.asarray(groups),
-    cfg, mesh, sidx.p_shard)
+    mi_key, cfg, mesh, sidx.p_shard)
 
 a = unpack_l1_meta(np.asarray(rep), cfg.c_cap, s)
 b = unpack_l1_meta(np.asarray(shd), cfg.c_cap, s)
 for key in ("s_q", "n_cand", "overflow", "cand_seq", "cand_start",
-            "cand_end", "cand_inter", "q_hash", "q_strand"):
+            "cand_end", "cand_inter", "cand_lo", "cand_mid", "cand_hi",
+            "q_hash", "q_strand"):
     np.testing.assert_array_equal(a[key], b[key], err_msg=key)
 assert a["n_cand"].sum() > 0, "no candidates produced"
 print("SHARDED OK", int(a["n_cand"].sum()))
