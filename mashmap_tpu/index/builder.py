@@ -509,25 +509,198 @@ def build_index(
     Mirrors Sketch::build + Sketch::index + freq-seed computation
     (winSketch.hpp:122-509): contigs shorter than the window contribute
     nothing; metadata records every contig (even unkept/empty ones).
+
+    Scale: contigs are processed in GROUPS bounded by
+    ``MASHMAP_TPU_DEVICE_RANK_LIMIT`` k-mer positions. Each group
+    rank-reduces into its own LOCAL dense int32 rank domain and resolves
+    back to u64 hashes before accumulation, so the number of distinct
+    k-mers genome-wide is unbounded (no global int32 rank cap; the
+    reference achieves the same scale by streaming with O(w) window
+    state, winSketch.hpp:122-509 / commonFunc.hpp:445-580). The global
+    postings merge below runs in the u64 hash domain.
     """
+    import os
+
     names: List[str] = []
     lengths: List[int] = []
     acc_hash, acc_wb, acc_we, acc_seq = [], [], [], []
     acc_mh, acc_mb, acc_me, acc_ms, acc_mseq = [], [], [], [], []
 
-    span = window_size - kmer_size + 1
+    dev_limit = int(os.environ.get(
+        "MASHMAP_TPU_DEVICE_RANK_LIMIT", 256 * 1024 * 1024))
 
-    # ---- phase 1: canonical-hash every indexable contig on the device.
+    def consume(results):
+        for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
+            acc_hash.append(ph)
+            acc_wb.append(pb)
+            acc_we.append(pe)
+            acc_seq.append(np.full(len(ph), seq_id, np.int32))
+            acc_mh.append(mh)
+            acc_mb.append(mb)
+            acc_me.append(me)
+            acc_ms.append(ms)
+            acc_mseq.append(np.full(len(mh), seq_id, np.int32))
+
+    group: List[Tuple[int, str]] = []
+    group_pos = 0
+    for seq_id, (name, seq) in enumerate(contigs):
+        names.append(name)
+        lengths.append(len(seq))
+        if len(seq) < window_size:
+            # never forms a full window => not indexed
+            # (addMinmers only fills the window once currentWindowId >= 0,
+            #  commonFunc.hpp:455; shorter contigs yield no minmers)
+            continue
+        n = len(seq) - kmer_size + 1
+        if group and group_pos + n > dev_limit:
+            consume(_build_group(group, kmer_size, window_size,
+                                 sketch_size, threads, dev_limit))
+            group, group_pos = [], 0
+        group.append((seq_id, seq))
+        group_pos += n
+    if group:
+        consume(_build_group(group, kmer_size, window_size, sketch_size,
+                             threads, dev_limit))
+
+    if not names:
+        raise ValueError("No sequences indexed!")
+
+    def _cat(parts, dtype):
+        return (np.concatenate(parts).astype(dtype) if parts
+                else np.empty(0, dtype))
+
+    ph = _cat(acc_hash, np.uint64)
+    pb = _cat(acc_wb, np.int32)
+    pe = _cat(acc_we, np.int32)
+    pseq = _cat(acc_seq, np.int32)
+
+    # CSR postings: sort by (hash, seqid, wpos) in the u64 hash domain
+    # (local ranks never leave their group)
+    o = np.lexsort((pb, pseq, ph))
+    ph, pb, pe, pseq = ph[o], pb[o], pe[o], pseq[o]
+    uniq_hashes, starts, counts = np.unique(
+        ph, return_index=True, return_counts=True)
+    post_offsets = np.concatenate(
+        (starts, [len(ph)])).astype(np.int64)
+
+    sizes = counts * 2  # IntervalPoints per hash
+    freq_threshold = _freq_threshold(sizes, kmer_pct_threshold)
+    is_frequent = sizes >= freq_threshold
+
+    mi_hash = _cat(acc_mh, np.uint64)
+    mi_wpos = _cat(acc_mb, np.int32)
+    mi_wend = _cat(acc_me, np.int32)
+    mi_strand = _cat(acc_ms, np.int8)
+    mi_seqid = _cat(acc_mseq, np.int32)
+
+    # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504)
+    if is_frequent.any():
+        idx = np.searchsorted(uniq_hashes, mi_hash)
+        keep = ~is_frequent[idx]
+        mi_hash, mi_wpos, mi_wend = (mi_hash[keep], mi_wpos[keep],
+                                     mi_wend[keep])
+        mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
+
+    logger.info(
+        "indexed %d contigs: %d minmer windows, %d unique minmers, "
+        "freq threshold %s",
+        len(names), len(mi_hash), len(uniq_hashes),
+        freq_threshold if freq_threshold < np.iinfo(np.int64).max else "inf")
+
+    return ReferenceIndex(
+        names=names,
+        lengths=np.asarray(lengths, np.int64),
+        uniq_hashes=uniq_hashes,
+        post_offsets=post_offsets,
+        post_seqid=pseq,
+        post_wpos=pb.astype(np.int32),
+        post_wend=pe.astype(np.int32),
+        mi_hash=mi_hash,
+        mi_seqid=mi_seqid,
+        mi_wpos=mi_wpos,
+        mi_wend=mi_wend,
+        mi_strand=mi_strand,
+        freq_threshold=freq_threshold,
+        is_frequent=is_frequent,
+        kmer_size=kmer_size,
+        window_size=window_size,
+        sketch_size=sketch_size,
+    )
+
+
+def _resolve_group_hashes(results, lut_dev, uniq_host):
+    """Map one group's rank-domain outputs back to u64 hashes.
+
+    Gathers the group LUT only at the DISTINCT ranks that survived into
+    postings / minmer rows (the sketch members), so the device fetch is
+    one u64 per distinct minmer hash — far smaller than the dense rank
+    arrays. Host arrays are then mapped via searchsorted (exact hits by
+    construction: ranks are dense indices into the sorted LUT).
+    """
+    if not results:
+        return results
+    rank_arrays = []
+    for _, (ph, _, _), (mh, _, _, _) in results:
+        rank_arrays.append(ph)
+        rank_arrays.append(mh)
+    flat = np.concatenate(rank_arrays)
+    u64e = np.empty(0, np.uint64)
+    if not len(flat):
+        return [(sid, (u64e, pb, pe), (u64e, mb, me, ms))
+                for sid, (ph, pb, pe), (mh, mb, me, ms) in results]
+    uniq_r = np.unique(flat)
+    if lut_dev is not None:
+        import jax
+        import jax.numpy as jnp
+        npad = _pad_len(len(uniq_r), lo=1 << 10)
+        idxs = np.zeros(npad, np.int32)
+        idxs[:len(uniq_r)] = uniq_r
+        vals = np.asarray(jax.device_get(
+            jnp.take(lut_dev, jnp.asarray(idxs))))[:len(uniq_r)]
+    else:
+        vals = uniq_host[uniq_r]
+    out = []
+    for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
+        ph_u = vals[np.searchsorted(uniq_r, ph)] if len(ph) else u64e
+        mh_u = vals[np.searchsorted(uniq_r, mh)] if len(mh) else u64e
+        out.append((seq_id, (ph_u, pb, pe), (mh_u, mb, me, ms)))
+    return out
+
+
+def _build_group(
+    group: List[Tuple[int, str]],
+    kmer_size: int,
+    window_size: int,
+    sketch_size: int,
+    threads: int,
+    dev_limit: int,
+):
+    """Index-build pipeline for one contig group.
+
+    Device hashing -> LOCAL rank reduction -> theta scan -> membership
+    events -> host interval/strand classification -> rank->u64 hash
+    resolution. Returns per-contig ``(seq_id, (hash_u64, wb, we),
+    (mh_u64, mb, me, ms))`` rows in ascending seq_id order; int32 ranks
+    never leave the group.
+    """
+    span = window_size - kmer_size + 1
+    import time as _time
+    _t = [_time.perf_counter()]
+
+    def _mark(label):
+        now = _time.perf_counter()
+        logger.debug("group phase %-14s %.2fs", label, now - _t[0])
+        _t[0] = now
+
+    # ---- phase 1: canonical-hash the group's contigs on the device.
     # Results STAY on the device (device->host fetches are the expensive
     # direction on tunneled TPU backends: ~300ms latency, ~20 MB/s)
-    # unless the genome outgrows the device rank-reduction budget, in
-    # which case slabs stream to the host and the rank reduction runs
+    # unless a single contig outgrows the device rank-reduction budget,
+    # in which case slabs stream to the host and the rank reduction runs
     # there (np.unique) — correctness is identical either way.
     import os
     import jax
     import jax.numpy as jnp
-    dev_limit = int(os.environ.get(
-        "MASHMAP_TPU_DEVICE_RANK_LIMIT", 256 * 1024 * 1024))
     fn = _hash_slab_fn(kmer_size)
     slab_h, slab_st, slab_valid = [], [], []
     host_mode = False
@@ -545,14 +718,7 @@ def build_index(
             "genome exceeds the device rank-reduction budget "
             "(%d positions); streaming hashes to the host", dev_limit)
 
-    for seq_id, (name, seq) in enumerate(contigs):
-        names.append(name)
-        lengths.append(len(seq))
-        if len(seq) < window_size:
-            # never forms a full window => not indexed
-            # (addMinmers only fills the window once currentWindowId >= 0,
-            #  commonFunc.hpp:455; shorter contigs yield no minmers)
-            continue
+    for seq_id, seq in group:
         seq_u8 = kmers.sanitize(seq.encode("ascii"))
         n = len(seq_u8) - kmer_size + 1
         start = concat_off
@@ -583,9 +749,7 @@ def build_index(
             if not host_mode and concat_off > dev_limit:
                 _to_host()
         spans_c.append((seq_id, start, n))
-
-    if not names:
-        raise ValueError("No sequences indexed!")
+    _mark("hash-dispatch")
 
     def slab_views(arrs, start, n):
         """Per-contig contiguous view from the padded slab layout."""
@@ -642,6 +806,7 @@ def build_index(
                     for _, start, n in spans_c]
         thetas_dev = winnow.theta_scan_ranks_jax(
             rank_views, sketch_size, span)
+        _mark("rank+theta")
 
         from ..kernels import events as events_mod
         bufs, meta_ev = [], []
@@ -668,6 +833,7 @@ def build_index(
                             len(bufs[-1])))
         all_buf = (jax.device_get(jnp.concatenate(bufs))
                    if bufs else np.empty(0, np.int32))
+        _mark("events+fetch")
 
         per_contig, thetas = [], []   # host-fallback list (overflows)
         ev_results = []               # (seq_id, n, n_w, unpacked)
@@ -767,92 +933,7 @@ def build_index(
         results += [one_contig_events(e) for e in ev_results]
     # contig order determines the interval table's (seqid, wpos) sort
     results.sort(key=lambda t: t[0])
-
-    for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
-        acc_hash.append(ph)
-        acc_wb.append(pb)
-        acc_we.append(pe)
-        acc_seq.append(np.full(len(ph), seq_id, np.int32))
-        acc_mh.append(mh)
-        acc_mb.append(mb)
-        acc_me.append(me)
-        acc_ms.append(ms)
-        acc_mseq.append(np.full(len(mh), seq_id, np.int32))
-
-    def _cat(parts, dtype):
-        return (np.concatenate(parts).astype(dtype) if parts
-                else np.empty(0, dtype))
-
-    ph = _cat(acc_hash, np.int32)         # rank domain
-    pb = _cat(acc_wb, np.int32)
-    pe = _cat(acc_we, np.int32)
-    pseq = _cat(acc_seq, np.int32)
-
-    # CSR postings: sort by (hash-rank, seqid, wpos) — ranks sort in the
-    # same order as the u64 hash values by construction
-    o = np.lexsort((pb, pseq, ph))
-    ph, pb, pe, pseq = ph[o], pb[o], pe[o], pseq[o]
-    uniq_ranks, starts, counts = np.unique(
-        ph, return_index=True, return_counts=True)
-    post_offsets = np.concatenate(
-        (starts, [len(ph)])).astype(np.int64)
-
-    sizes = counts * 2  # IntervalPoints per hash
-    freq_threshold = _freq_threshold(sizes, kmer_pct_threshold)
-    is_frequent = sizes >= freq_threshold
-
-    mi_rank = _cat(acc_mh, np.int32)
-    mi_wpos = _cat(acc_mb, np.int32)
-    mi_wend = _cat(acc_me, np.int32)
-    mi_strand = _cat(acc_ms, np.int8)
-    mi_seqid = _cat(acc_mseq, np.int32)
-
-    # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504)
-    if is_frequent.any():
-        idx = np.searchsorted(uniq_ranks, mi_rank)
-        drop = is_frequent[idx]
-        keep = ~drop
-        mi_rank, mi_wpos, mi_wend = (mi_rank[keep], mi_wpos[keep],
-                                     mi_wend[keep])
-        mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
-
-    # ---- final: resolve rank keys back to u64 hashes with one device
-    # gather + one fetch (the LUT itself never crosses the tunnel), or
-    # directly on the host in streamed (big-genome) mode
-    if hashed_any and (len(uniq_ranks) or len(mi_rank)):
-        if lut_dev is not None:
-            uniq_hashes, mi_hash = jax.device_get((
-                lut_dev[jnp.asarray(uniq_ranks)],
-                lut_dev[jnp.asarray(mi_rank)]))
-        else:
-            uniq_hashes = uniq_host[uniq_ranks]
-            mi_hash = uniq_host[mi_rank]
-    else:
-        uniq_hashes = np.empty(0, np.uint64)
-        mi_hash = np.empty(0, np.uint64)
-
-    logger.info(
-        "indexed %d contigs: %d minmer windows, %d unique minmers, "
-        "freq threshold %s",
-        len(names), len(mi_hash), len(uniq_hashes),
-        freq_threshold if freq_threshold < np.iinfo(np.int64).max else "inf")
-
-    return ReferenceIndex(
-        names=names,
-        lengths=np.asarray(lengths, np.int64),
-        uniq_hashes=uniq_hashes,
-        post_offsets=post_offsets,
-        post_seqid=pseq,
-        post_wpos=pb.astype(np.int32),
-        post_wend=pe.astype(np.int32),
-        mi_hash=mi_hash,
-        mi_seqid=mi_seqid,
-        mi_wpos=mi_wpos,
-        mi_wend=mi_wend,
-        mi_strand=mi_strand,
-        freq_threshold=freq_threshold,
-        is_frequent=is_frequent,
-        kmer_size=kmer_size,
-        window_size=window_size,
-        sketch_size=sketch_size,
-    )
+    _mark("host-classify")
+    out = _resolve_group_hashes(results, lut_dev, uniq_host)
+    _mark("resolve-u64")
+    return out

@@ -199,20 +199,25 @@ def _rank_reduce(hm: jax.Array):
     value of rank r (SENTINEL-padded).
     """
     n = hm.shape[0]
-    perm = jnp.argsort(hm)
-    sv = hm[perm]
+    # gather/scatter-free formulation: wide (>1e6) gathers and u64
+    # scatters are the slow ops on TPU; multi-operand lax.sort is fast.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sv, perm = jax.lax.sort((hm, iota), dimension=-1, num_keys=1)
     prev = jnp.concatenate([sv[:1], sv[:-1]])
-    newv = (sv != prev) | (jnp.arange(n) == 0)
+    newv = (sv != prev) | (iota == 0)
     newv &= sv != SENTINEL
     rank_sorted = jnp.cumsum(newv.astype(jnp.int32)) - 1
     rank_sorted = jnp.where(sv == SENTINEL, RSENT, rank_sorted)
-    ranks = jnp.zeros(n, jnp.int32).at[perm].set(rank_sorted)
-    # scatter unique values to their rank slot; non-new rows target the
-    # spare slot n (sliced away) so they can never clobber a real rank
-    lut = jnp.full(n + 1, SENTINEL, dtype=jnp.uint64).at[
-        jnp.where(newv, rank_sorted, n)].set(
-        jnp.where(newv, sv, SENTINEL))[:n]
-    return ranks, lut
+    # invert the permutation by sorting (perm is a permutation, so the
+    # sort is stable-equivalent): ranks[perm[i]] = rank_sorted[i]
+    _, ranks = jax.lax.sort((perm, rank_sorted), dimension=-1,
+                            num_keys=1)
+    # unique values compact to their rank prefix: sort by rank slot
+    # (non-new rows key to the spare slot n and carry SENTINEL)
+    _, lut_full = jax.lax.sort(
+        (jnp.where(newv, rank_sorted, n),
+         jnp.where(newv, sv, SENTINEL)), dimension=-1, num_keys=1)
+    return ranks, lut_full
 
 
 # fixed theta-chunk row count => one XLA shape per (s, s_b)

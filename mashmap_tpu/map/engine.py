@@ -526,6 +526,13 @@ class Mapper:
         from ..kernels.sketch import sketch_sequence_py
 
         p = self.p
+        _t = [time.perf_counter()]
+
+        def _mark(label):
+            now = time.perf_counter()
+            logger.debug("map phase %-13s %.2fs", label, now - _t[0])
+            _t[0] = now
+
         dev = self._device_tables()
         # n_groups rounds up to a power of two: it is a static kernel
         # parameter, and per-genome values would force recompiles
@@ -600,11 +607,13 @@ class Mapper:
                 dev["cutoff_table"],
                 self._put_batch(allowedp), dev["ref_group"],
                 dev["mi_key"], cfg)
+        _mark("l1-dispatch")
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
         o = unpack_l1_meta(
             jax.device_get(out)[:B], cfg.c_cap, p.sketch_size)
+        _mark("l1-fetch")
 
         # complexity rescale for 'N'-padded fragments
         cx = np.array([
@@ -682,11 +691,13 @@ class Mapper:
                               dev["mi_wend"], dev["mi_strand"],
                               dev["mi_seqid"], T, p.sketch_size)
                 pending.append((chunk, buf))
+        _mark("l2-dispatch")
         if pending:
             import jax.numpy as _jnp
             all_runs = jax.device_get(
                 _jnp.concatenate([b for _, b in pending], axis=0)
                 if len(pending) > 1 else pending[0][1])
+            _mark("l2-fetch")
         row0 = 0
         for chunk, buf in pending:
             nrows = buf.shape[0]
@@ -749,6 +760,7 @@ class Mapper:
                                    cands, loci_fn)
             rows.sort(key=lambda m: (m.ref_seq_id, m.ref_start))
             rows_by_frag.append(rows)
+        _mark("host-post")
         return rows_by_frag
 
     def _filter_by_group(self, rows: List[MappingResult], n_mappings: int,

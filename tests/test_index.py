@@ -1,5 +1,7 @@
 """Index-builder tests: minmer intervals vs. a brute-force window oracle."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -120,3 +122,31 @@ def test_build_index_and_save_load(tmp_path):
     np.testing.assert_array_equal(idx.post_wpos, idx2.post_wpos)
     assert idx2.names == idx.names
     assert idx2.kmer_size == 7 and idx2.window_size == 500
+
+
+def test_grouped_build_matches_single_group(monkeypatch):
+    """Contig-group streaming (local rank domains, u64 global merge) is
+    bit-identical to the one-group build — the mechanism that removes
+    the global int32 distinct-hash cap (reference streams with O(w)
+    state instead, winSketch.hpp:122-509)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from genomes import pangenome
+    contigs = pangenome(4, 60_000, 0.05, seed=11)
+
+    def build(limit):
+        monkeypatch.setenv("MASHMAP_TPU_DEVICE_RANK_LIMIT", str(limit))
+        return build_index(contigs, 19, 5000, 40, threads=2)
+
+    a = build(1 << 30)    # everything in one group
+    b = build(70_000)     # ~2 contigs per group
+    c = build(20_000)     # every contig overflows its group => host stream
+    for f in ("uniq_hashes", "post_offsets", "post_seqid", "post_wpos",
+              "post_wend", "mi_hash", "mi_seqid", "mi_wpos", "mi_wend",
+              "mi_strand", "is_frequent"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                      err_msg=f)
+        np.testing.assert_array_equal(getattr(a, f), getattr(c, f),
+                                      err_msg=f)
+    assert a.freq_threshold == b.freq_threshold == c.freq_threshold
+    assert len(a.uniq_hashes) > 0
