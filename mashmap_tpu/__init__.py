@@ -43,6 +43,14 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# Backend override (e.g. MASHMAP_TPU_PLATFORM=cpu). Needed because some
+# PJRT plugins in this environment register themselves regardless of
+# JAX_PLATFORMS; the config API wins.
+_plat = os.environ.get("MASHMAP_TPU_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+del _plat
+
 __version__ = "0.1.0"
 
 from .params import Parameters, FIXED  # noqa: E402,F401

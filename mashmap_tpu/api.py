@@ -11,7 +11,7 @@ import sys
 import time
 from typing import Optional
 
-from .params import Parameters
+from .params import Parameters, FILTER_ONETOONE
 from .index.builder import ReferenceIndex, build_index
 from .io import for_each_seq_in_file
 from .map.engine import Mapper
@@ -50,11 +50,35 @@ def map_files(params: Parameters,
               index: Optional[ReferenceIndex] = None) -> ReferenceIndex:
     """Run the full pipeline; returns the index (reusable)."""
     params.finalize()
+    from .parallel import distributed
+    ctx = distributed.setup(params.coordinator, params.num_processes,
+                            params.process_id)
+    if ctx is not None and not ctx.is_primary:
+        # concurrent writers race on --saveIndex; the build itself is
+        # deterministic, so every process gets identical tables
+        params.save_index_filename = ""
     if index is None:
         index = build_or_load_index(params)
     mapper = Mapper(params, index)
     t0 = time.time()
-    if params.out_file_name == "-":
+    if ctx is not None:
+        if params.out_file_name == "-":
+            raise ValueError(
+                "multi-process runs need a file output (-o), not stdout")
+        part = ctx.part_path(params.out_file_name)
+        with open(part, "w") as out:
+            mapper.run(params.query_sequences, out)
+        distributed.barrier("map-parts-done")
+        if ctx.is_primary:
+            if params.filter_mode == FILTER_ONETOONE:
+                import os as _os   # process 0 wrote the full output already
+                _os.replace(part, params.out_file_name)
+                for pid in range(1, ctx.num_processes):
+                    _os.remove(ctx.part_path(params.out_file_name, pid))
+            else:
+                distributed.merge_paf_parts(params.out_file_name, ctx)
+        distributed.barrier("map-merged")
+    elif params.out_file_name == "-":
         mapper.run(params.query_sequences, sys.stdout)
     else:
         with open(params.out_file_name, "w") as out:

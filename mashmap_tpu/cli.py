@@ -107,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "device mesh instead of replicating it (for "
                         "indexes larger than one chip's memory)")
     p.add_argument("--batchFragments", type=int, default=512)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host launch: coordinator host:port "
+                        "(or MASHMAP_TPU_COORDINATOR)")
+    p.add_argument("--numProcesses", type=int, default=None,
+                   help="multi-host launch: total process count "
+                        "(or MASHMAP_TPU_NUM_PROCS)")
+    p.add_argument("--processId", type=int, default=None,
+                   help="multi-host launch: this process's id "
+                        "(or MASHMAP_TPU_PROC_ID)")
     p.add_argument("--profile", action="store_true",
                    help="enable stage timing logs")
     p.add_argument("--traceDir", default="",
@@ -208,6 +217,9 @@ def args_to_params(a) -> Parameters:
         batch_fragments=a.batchFragments,
         use_device_pipeline=not a.noDevicePipeline,
         shard_index=a.shardIndex,
+        coordinator=a.coordinator,
+        num_processes=a.numProcesses,
+        process_id=a.processId,
     ).finalize()
     return params
 

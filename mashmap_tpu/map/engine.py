@@ -797,8 +797,10 @@ class Mapper:
         """Full mapQuery equivalent: stream files, map, write output."""
         from ..io import for_each_seq_in_file, total_seq_stats
         from ..progress import ProgressMeter
+        from ..parallel import distributed
         p = self.p
         t0 = time.time()
+        self._dist = distributed.context()
 
         if progress is None:
             # default like the reference (always paints to stderr), but
@@ -834,6 +836,15 @@ class Mapper:
                     self.qmetadata.append((name, qlen))
                 if qlen >= p.kmer_size:
                     self.total_reads_picked += 1
+                    if self._dist is not None and not \
+                            self._dist.owns_query(self.total_seq_counter):
+                        # another process maps this query; count its bp
+                        # so the meter still tracks global progress
+                        if meter is not None:
+                            meter.increment(qlen)
+                        self.total_seq_counter += 1
+                        self.total_bp += qlen
+                        continue
                     pending.append(_Query(name, seq,
                                           self.total_seq_counter))
                     pending_frags += max(1, qlen // p.seg_length)
@@ -850,7 +861,16 @@ class Mapper:
             meter.finish()
 
         if p.filter_mode == FILTER_ONETOONE:
-            self._finish_one_to_one(out)
+            if self._dist is not None:
+                rows_path = self._dist.part_path(p.out_file_name) + ".rows"
+                distributed.dump_rows(rows_path, self._buffered)
+                distributed.barrier("one-to-one-rows")
+                if self._dist.is_primary:
+                    self._buffered = distributed.gather_rows(
+                        p.out_file_name, self._dist)
+                    self._finish_one_to_one(out)
+            else:
+                self._finish_one_to_one(out)
 
         logger.info(
             "count of mapped reads = %d, reads qualified for mapping = %d, "
@@ -864,6 +884,18 @@ class Mapper:
             self.total_reads_mapped += 1
         if self.p.filter_mode == FILTER_ONETOONE:
             self._buffered.extend(rows)
+        elif getattr(self, "_dist", None) is not None:
+            # part-file line: "<query ordinal>\t<paf...>" so process 0
+            # can k-way-merge parts back into input order
+            import io as _io
+            buf = _io.StringIO()
+            output.write_mappings(
+                buf, rows, lambda m: q.name, self.idx.names,
+                self.idx.lengths, self.p.legacy_output,
+                self.p.merge_mappings, self.p.report_ANI_percentage)
+            pfx = f"{q.counter}\t"
+            for ln in buf.getvalue().splitlines(keepends=True):
+                out.write(pfx + ln)
         else:
             output.write_mappings(
                 out, rows, lambda m: q.name, self.idx.names,

@@ -92,6 +92,10 @@ def setup(coordinator: Optional[str] = None,
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id)
+    # processes compute on DISJOINT query shards: keep every array on
+    # process-local devices so jax never applies its global-SPMD
+    # "same value on each process" device_put semantics
+    jax.config.update("jax_default_device", jax.local_devices()[0])
     _CTX = DistContext(process_id, num_processes)
     logger.info("multi-process runtime up: process %d/%d (coordinator %s)",
                 process_id, num_processes, coordinator)

@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    from . import distributed
+    # multi-process runs keep each process's mesh LOCAL: processes map
+    # disjoint query shards (parallel/distributed.py), so arrays differ
+    # per process and must never land on a cross-process sharding
+    devices = (jax.local_devices() if distributed.context() is not None
+               else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("data",))

@@ -86,6 +86,11 @@ class Parameters:
     threads: int = 1                          # host-side parallelism only
 
     # --- TPU-side knobs (no reference analog) ---
+    # multi-host launch (parallel/distributed.py); flags beat the
+    # MASHMAP_TPU_COORDINATOR / _NUM_PROCS / _PROC_ID env vars
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     batch_fragments: int = 512      # fragments per device batch
     use_device_pipeline: bool = True
     shard_index: bool = False       # hash-range-shard postings over the
