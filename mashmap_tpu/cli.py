@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--processId", type=int, default=None,
                    help="multi-host launch: this process's id "
                         "(or MASHMAP_TPU_PROC_ID)")
+    p.add_argument("--noProgress", action="store_true",
+                   help="disable the live progress meter")
     p.add_argument("--profile", action="store_true",
                    help="enable stage timing logs")
     p.add_argument("--traceDir", default="",
@@ -217,6 +219,7 @@ def args_to_params(a) -> Parameters:
         batch_fragments=a.batchFragments,
         use_device_pipeline=not a.noDevicePipeline,
         shard_index=a.shardIndex,
+        no_progress=a.noProgress,
         coordinator=a.coordinator,
         num_processes=a.numProcesses,
         process_id=a.processId,

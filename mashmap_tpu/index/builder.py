@@ -831,27 +831,65 @@ def _build_group(
                 iv_cap, mem_cap))
             meta_ev.append((i, seq_id, n, n_w, iv_cap, mem_cap,
                             len(bufs[-1])))
-        all_buf = (jax.device_get(jnp.concatenate(bufs))
-                   if bufs else np.empty(0, np.int32))
-        _mark("events+fetch")
+        # Two-phase SIZED fetch. The event buffers are cap-padded (the
+        # caps leave >2x headroom), so fetching them whole moves mostly
+        # padding across a ~300ms-latency, ~15 MB/s tunnel. Phase A
+        # fetches just the per-contig counts (a few dozen bytes); the
+        # host then slices each buffer segment to its live prefix
+        # (pow2-rounded => few XLA shapes) and phase B fetches only
+        # real data in one transfer.
+        if bufs:
+            tails = jax.device_get(
+                jnp.concatenate([b[-3:] for b in bufs]))
+        else:
+            tails = np.empty(0, np.int32)
+        _mark("events+counts")
+
+        def _ceil2(x, lo=256):
+            return max(lo, 1 << (int(x) - 1).bit_length()) if x else lo
 
         per_contig, thetas = [], []   # host-fallback list (overflows)
-        ev_results = []               # (seq_id, n, n_w, unpacked)
-        off = 0
-        for (i, seq_id, n, n_w, iv_cap, mem_cap, blen) in meta_ev:
-            got = events_mod.unpack_events(
-                all_buf[off:off + blen], iv_cap, mem_cap)
-            off += blen
-            if got is None:   # cap overflow: dense host fallback
+        sized = []                    # (i, seq_id, n, n_w, e_iv, e_mem,
+        pieces = []                   #  n_iv, n_mem)
+        for bi, (i, seq_id, n, n_w, iv_cap, mem_cap, blen) \
+                in enumerate(meta_ev):
+            n_iv = int(tails[3 * bi])
+            n_mem = int(tails[3 * bi + 1])
+            ovf = bool(tails[3 * bi + 2]) or n_iv > iv_cap \
+                or n_mem > mem_cap
+            if ovf:   # cap overflow: dense host fallback
                 logger.info(
                     "contig %d overflowed the event caps; host fallback",
                     seq_id)
-                r_host = np.asarray(rank_views[i])
-                s_host = np.asarray(st_views[i])
-                per_contig.append((seq_id, r_host, s_host))
+                per_contig.append((seq_id, np.asarray(rank_views[i]),
+                                   np.asarray(st_views[i])))
                 thetas.append(np.asarray(thetas_dev[i]))
-            else:
-                ev_results.append((seq_id, n, n_w, got))
+                continue
+            e_iv, e_mem = _ceil2(n_iv), _ceil2(n_mem)
+            b = bufs[bi]
+            pieces += [b[0:e_iv], b[iv_cap:iv_cap + e_iv],
+                       b[2 * iv_cap:2 * iv_cap + e_iv],
+                       b[3 * iv_cap:3 * iv_cap + e_mem],
+                       b[3 * iv_cap + mem_cap:
+                         3 * iv_cap + mem_cap + e_mem]]
+            sized.append((i, seq_id, n, n_w, e_iv, e_mem, n_iv, n_mem))
+        all_buf = (jax.device_get(jnp.concatenate(pieces))
+                   if pieces else np.empty(0, np.int32))
+        _mark("events+fetch")
+
+        ev_results = []               # (seq_id, n, n_w, unpacked)
+        off = 0
+        for (i, seq_id, n, n_w, e_iv, e_mem, n_iv, n_mem) in sized:
+            iv = all_buf[off:off + 3 * e_iv].reshape(3, e_iv)[:, :n_iv]
+            mem = all_buf[off + 3 * e_iv:
+                          off + 3 * e_iv + 2 * e_mem].reshape(
+                2, e_mem)[:, :n_mem]
+            off += 3 * e_iv + 2 * e_mem
+            got = (iv[0], iv[1].astype(np.int64),
+                   iv[2].astype(np.int64),
+                   (mem[1] >> 1).astype(np.int64), mem[0],
+                   ((mem[1] & 1) * 2 - 1).astype(np.int64))
+            ev_results.append((seq_id, n, n_w, got))
     elif hashed_any and not host_mode:
         # ---- phase 2 (device): global rank reduction; fetch ONLY the
         # compact int32 ranks + strands (one transfer)

@@ -174,8 +174,13 @@ def events_step(ranks, strand, theta, n_k, n_w, s_b: int,
         jnp.where(gstart, jnp.arange(iv_cap, dtype=jnp.int32), 0))
     r_b = jnp.arange(iv_cap, dtype=jnp.int32) - gsidx
     n_end_c = jnp.minimum(n_end, iv_cap)
-    e_lo = jnp.searchsorted(eh, bh, side="left").astype(jnp.int32)
-    e_hi = jnp.searchsorted(eh, bh, side="right").astype(jnp.int32)
+    # method='sort': binary search would be iv_cap-wide gather rounds —
+    # the pathologically slow op class on this TPU stack; one extra
+    # multi-operand sort is far cheaper
+    e_lo = jnp.searchsorted(
+        eh, bh, side="left", method="sort").astype(jnp.int32)
+    e_hi = jnp.searchsorted(
+        eh, bh, side="right", method="sort").astype(jnp.int32)
     e_hi = jnp.minimum(e_hi, n_end_c)
     e_lo = jnp.minimum(e_lo, n_end_c)
     paired = blive & (r_b < (e_hi - e_lo))
@@ -184,8 +189,8 @@ def events_step(ranks, strand, theta, n_k, n_w, s_b: int,
 
     # --- member occurrences: sorted rows whose hash has >= 1 begin ---
     uh = jnp.where(gstart, bh, I32MAX)
-    o_lo = jnp.searchsorted(sh, uh, side="left")
-    o_hi = jnp.searchsorted(sh, uh, side="right")
+    o_lo = jnp.searchsorted(sh, uh, side="left", method="sort")
+    o_hi = jnp.searchsorted(sh, uh, side="right", method="sort")
     dd = jnp.zeros(Np + 1, jnp.int32).at[o_lo].add(1).at[o_hi].add(-1)
     member = (jnp.cumsum(dd[:Np]) > 0) & svalid
     memps = (sp << 1) | (sstrand > 0).astype(jnp.int32)

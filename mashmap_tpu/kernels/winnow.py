@@ -135,18 +135,22 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
         nxt = jnp.concatenate([nxt, pad], axis=1)
     init = jnp.full((C, s), RSENT, dtype=jnp.int32)
 
-    # suffix sketches of `cur`: offsets S_B-1 .. 0, U per step
-    cur_rev = cur[:, ::-1].T.reshape(s_b_p // U, U, C)
+    # suffix sketches of `cur`: suf[j] = bottom-s of cur[:, j:].
+    # reverse=True makes the scan run j = s_b_p-1 .. 0 while stacking
+    # outputs in FORWARD order — no input reversal and no flip copy of
+    # the multi-GB sketch stack (layout copies were ~half the kernel's
+    # runtime in the flipped formulation).
+    cur_f = cur.T.reshape(s_b_p // U, U, C)
 
     def suf_step(state, vs):
-        outs = []
-        for u in range(U):
+        outs = [None] * U
+        for u in range(U - 1, -1, -1):
             state = _insert_bottom_s(state, vs[u])
-            outs.append(state)
+            outs[u] = state
         return state, jnp.stack(outs)
 
-    _, suf_rev = jax.lax.scan(suf_step, init, cur_rev)
-    # suf_rev[j'] = bottom-s of cur[:, s_b_p-1-j':]
+    _, suf = jax.lax.scan(suf_step, init, cur_f, reverse=True)
+    suf = suf.reshape(s_b_p, C, s)
 
     # prefix sketches of `nxt`: pre[j] = bottom-s of nxt[:, :j]
     # (state BEFORE inserting offset j)
@@ -162,16 +166,11 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
     _, pre = jax.lax.scan(pre_step, init, nxt_u)
     pre = pre.reshape(s_b_p, C, s)
 
-    # batched merge: theta[j] = s-th distinct smallest of suf[j] U pre[j].
-    # Pair suf_rev (reversed) with pre reversed on the offset axis, then
-    # flip the (small) theta output instead of either (big) stack.
-    pre_rev = pre[::-1]
-    suf_rev = suf_rev.reshape(s_b_p, C, s)
-
-    theta_rev = jax.lax.map(
+    # batched merge: theta[j] = s-th distinct smallest of suf[j] U pre[j]
+    theta = jax.lax.map(
         lambda ab: _merge_theta(ab[0], ab[1], s),
-        (suf_rev, pre_rev), batch_size=_MERGE_BLOCK)
-    return theta_rev[::-1][:s_b].T  # (C, S_B)
+        (suf, pre), batch_size=_MERGE_BLOCK)
+    return theta[:s_b].T  # (C, S_B)
 
 
 def _default_chunk_bytes() -> int:

@@ -474,37 +474,45 @@ class Mapper:
             out[:len(a)] = a
             return out
 
-        U = pow2(len(idx.uniq_hashes))
-        Pn = pow2(len(idx.post_seqid))
-        M = pow2(len(idx.mi_hash))
         NC = pow2(self.idx.n_contigs, lo=8)
         self._n_contigs_padded = NC
-        po = padded(idx.post_offsets.astype(np.int32), U + 1,
-                    np.int32(len(idx.post_seqid)))
-        # mi_key pads must sort AFTER every real key (searchsorted
-        # bounds must never land inside the pad region)
-        mi_key_pad = padded(self.mi_key, M,
-                            np.int64(0x7FFFFFFFFFFFFFFF))
         self._dev = {
-            "uniq_hashes": put(padded(
-                idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
-            "post_offsets": put(po),
-            "post_seqid": put(padded(idx.post_seqid, Pn, np.int32(0))),
-            "post_wpos": put(padded(idx.post_wpos, Pn, np.int32(0))),
-            "post_wend": put(padded(idx.post_wend, Pn, np.int32(0))),
-            "is_frequent": put(padded(idx.is_frequent, U, False)),
-            "mi_hash": put(padded(
-                idx.mi_hash, M, np.uint64(0xFFFFFFFFFFFFFFFF))),
-            "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
-            "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
-            "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
-            "mi_seqid": put(padded(idx.mi_seqid, M, np.int32(-1))),
-            "mi_key": put(mi_key_pad),
             "min_hits_table": put(mh_table),
             "cutoff_table": put(ct),
             "ref_group": put(padded(
                 self.ref_groups.astype(np.int32), NC, np.int32(0))),
         }
+        if self._sharded_idx is None:
+            # replicated layout (fits-one-chip default); in --shardIndex
+            # mode NO O(index)-sized array is replicated — postings live
+            # as hash-range shards and the interval table as
+            # contig-range slabs (parallel/sharded_index.py)
+            U = pow2(len(idx.uniq_hashes))
+            Pn = pow2(len(idx.post_seqid))
+            M = pow2(len(idx.mi_hash))
+            po = padded(idx.post_offsets.astype(np.int32), U + 1,
+                        np.int32(len(idx.post_seqid)))
+            # mi_key pads must sort AFTER every real key (searchsorted
+            # bounds must never land inside the pad region)
+            mi_key_pad = padded(self.mi_key, M,
+                                np.int64(0x7FFFFFFFFFFFFFFF))
+            self._dev.update({
+                "uniq_hashes": put(padded(
+                    idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
+                "post_offsets": put(po),
+                "post_seqid": put(padded(idx.post_seqid, Pn,
+                                         np.int32(0))),
+                "post_wpos": put(padded(idx.post_wpos, Pn, np.int32(0))),
+                "post_wend": put(padded(idx.post_wend, Pn, np.int32(0))),
+                "is_frequent": put(padded(idx.is_frequent, U, False)),
+                "mi_hash": put(padded(
+                    idx.mi_hash, M, np.uint64(0xFFFFFFFFFFFFFFFF))),
+                "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
+                "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
+                "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
+                "mi_seqid": put(padded(idx.mi_seqid, M, np.int32(-1))),
+                "mi_key": put(mi_key_pad),
+            })
         return self._dev
 
     def _put_batch(self, x):
@@ -596,8 +604,8 @@ class Mapper:
                 rep_put(matp), si.uniq, si.offsets, si.seqid, si.wpos,
                 si.wend, si.frequent, dev["min_hits_table"],
                 dev["cutoff_table"], rep_put(allowedp),
-                dev["ref_group"], dev["mi_key"], cfg, self._mesh,
-                si.p_shard)
+                dev["ref_group"], si.mi_key, si.mi_row0, si.key_bounds,
+                cfg, self._mesh, si.p_shard)
         else:
             out = l1_step(
                 self._put_batch(matp), dev["uniq_hashes"],
@@ -659,6 +667,56 @@ class Mapper:
         # buffer has the same width, so they concatenate device-side
         # into ONE fetch (~300ms latency each on tunneled backends)
         pending = []
+        if self._sharded_idx is not None:
+            # contig-range-sharded interval table: work items route to
+            # the shard whose slab holds their [lo, hi) slice (bounds
+            # rebased to slab-local rows), one stacked shard_map call
+            # per round — no replicated mi arrays anywhere
+            si = self._sharded_idx
+            from ..parallel.sharded_index import l2_step_sharded
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_sh = si.n_shards
+            bnds = si.mi_bounds
+            shp = NamedSharding(self._mesh, PartitionSpec("data"))
+            for T, todo in buckets.items():
+                W_STEP = max(8, AREA // T)
+                by_owner = [[] for _ in range(n_sh)]
+                for w in todo:
+                    d = int(np.searchsorted(bnds, w[2], side="right")) - 1
+                    by_owner[min(max(d, 0), n_sh - 1)].append(w)
+                rounds = max((len(x) + W_STEP - 1) // W_STEP
+                             for x in by_owner)
+                for r in range(rounds):
+                    Wp = W_STEP
+                    w_lo = np.zeros((n_sh, Wp), np.int32)
+                    w_mid = np.zeros((n_sh, Wp), np.int32)
+                    w_hi = np.zeros((n_sh, Wp), np.int32)
+                    w_seq = np.zeros((n_sh, Wp), np.int32)
+                    qh = np.full((n_sh, Wp, p.sketch_size),
+                                 np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+                    qs = np.zeros((n_sh, Wp, p.sketch_size), np.int8)
+                    sqv = np.ones((n_sh, Wp), np.int32)
+                    chunk = [None] * (n_sh * Wp)
+                    for d in range(n_sh):
+                        row0 = int(bnds[d])
+                        items = by_owner[d][r * W_STEP:(r + 1) * W_STEP]
+                        for rr, (i, j, lo, mid, hi) in enumerate(items):
+                            w_lo[d, rr] = lo - row0
+                            w_mid[d, rr] = mid - row0
+                            w_hi[d, rr] = hi - row0
+                            w_seq[d, rr] = int(o["cand_seq"][i, j])
+                            qh[d, rr] = o["q_hash"][i]
+                            qs[d, rr] = o["q_strand"][i]
+                            sqv[d, rr] = o["s_q"][i]
+                            chunk[d * Wp + rr] = (i, j, lo, mid, hi)
+                    buf = l2_step_sharded(
+                        *(jax.device_put(a, shp) for a in
+                          (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv)),
+                        si.mi_hash, si.mi_wpos, si.mi_wend,
+                        si.mi_strand, si.mi_seqid, T, p.sketch_size,
+                        self._mesh)
+                    pending.append((chunk, buf.reshape(n_sh * Wp, -1)))
+            buckets = {}
         for T, todo in buckets.items():
             W_STEP = max(8, AREA // T)
             if W_STEP % self._n_dev:
@@ -704,7 +762,10 @@ class Mapper:
             n_runs, best, r_ovf, starts, ends, strands = \
                 unpack_l2_runs(all_runs[row0:row0 + nrows])
             row0 += nrows
-            for r, (i, j, lo, mid, hi) in enumerate(chunk):
+            for r, item in enumerate(chunk):
+                if item is None:      # sharded-routing pad row
+                    continue
+                (i, j, lo, mid, hi) = item
                 if r_ovf[r]:
                     host_l2_set.add((i, j))
                     continue
@@ -803,10 +864,9 @@ class Mapper:
         self._dist = distributed.context()
 
         if progress is None:
-            # default like the reference (always paints to stderr), but
-            # skip the meter when stderr is not a terminal — the sizing
-            # pre-scan costs a full file pass when no .fai exists
-            progress = sys.stderr.isatty()
+            # the reference always paints its meter to stderr
+            # (progress.hpp:25-38); --noProgress is the opt-out
+            progress = not p.no_progress
         meter = None
         if progress:
             # reference sizes its meter from the .fai / a pre-scan

@@ -34,6 +34,15 @@ from ..kernels.mapdev import L1Config, sweep_and_candidates
 from ..kernels.sketch import sketch_fragments, UMAX
 
 
+KEY_MAX = np.int64(0x7FFFFFFFFFFFFFFF)
+KEY_MIN = np.int64(-0x8000000000000000)
+
+# largest L2 interval-slice the device path handles (matches the
+# engine's T bucket ceiling); the mi-slab halo must cover it so every
+# work item's [lo, hi) slice lives wholly inside its owner's slab
+L2_T_MAX = 8192
+
+
 class ShardedIndex(NamedTuple):
     n_shards: int
     u_shard: int              # unique hashes per shard (padded)
@@ -44,11 +53,32 @@ class ShardedIndex(NamedTuple):
     wpos: jax.Array           # (n, p_shard) i32
     wend: jax.Array           # (n, p_shard) i32
     frequent: jax.Array       # (n, u_shard) bool
+    # ---- contig-range-sharded minmer interval table (L2) ----
+    m_shard: int              # mi rows per slab (chunk + halo, padded)
+    mi_bounds: np.ndarray     # (n+1,) host: global row range per shard
+    mi_row0: jax.Array        # (n, 1) i32 replicated-by-row global start
+    key_bounds: jax.Array     # (n+1,) i64 replicated: owned key ranges
+    mi_hash: jax.Array        # (n, m_shard) u64
+    mi_wpos: jax.Array        # (n, m_shard) i32
+    mi_wend: jax.Array        # (n, m_shard) i32
+    mi_strand: jax.Array      # (n, m_shard) i8
+    mi_seqid: jax.Array       # (n, m_shard) i32
+    mi_key: jax.Array         # (n, m_shard) i64, KEY_MAX-padded
 
 
-def build_sharded_index(idx, mesh: Mesh) -> ShardedIndex:
-    """Split the CSR postings into contiguous hash ranges, one per
-    device, and place each shard on its owner."""
+def build_sharded_index(idx, mesh: Mesh,
+                        halo: int = L2_T_MAX) -> ShardedIndex:
+    """Split the index across the mesh with nothing replicated:
+
+    - CSR postings (L1): contiguous unique-hash ranges, one per device;
+    - minmer interval table (L2, the reference's ``minmerIndex``,
+      winSketch.hpp:102): contiguous (seqid, wpos)-sorted ROW ranges,
+      one per device, each extended by a ``halo`` of the next shard's
+      rows so any <= halo-row slice is wholly resident on its owner.
+      Range boundaries are key-aligned (equal (seqid, wpos) keys are
+      never split) so shard-local searchsorted + row offset equals the
+      global searchsorted.
+    """
     n = mesh.devices.size
     U = len(idx.uniq_hashes)
     u_shard = -(-max(U, 1) // n)
@@ -79,7 +109,49 @@ def build_sharded_index(idx, mesh: Mesh) -> ShardedIndex:
         wend[d, :phi - plo] = idx.post_wend[plo:phi]
         freq[d, :m] = idx.is_frequent[lo:hi]
 
+    # ---- mi slabs: key-aligned row ranges + halo
+    key = ((idx.mi_seqid.astype(np.int64) << 32)
+           | idx.mi_wpos.astype(np.int64))
+    M = len(key)
+    chunk_nom = -(-max(M, 1) // n)
+    bounds = [0]
+    for d in range(1, n):
+        b = min(d * chunk_nom, M)
+        if b < M:
+            b = int(np.searchsorted(key, key[b], side="left"))
+        bounds.append(max(b, bounds[-1]))
+    bounds.append(M)
+    mi_bounds = np.asarray(bounds, np.int64)
+    m_shard = max(1, max(
+        min(bounds[d + 1] + halo, M) - bounds[d] for d in range(n)))
+
+    mh = np.full((n, m_shard), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    mwp = np.zeros((n, m_shard), np.int32)
+    mwe = np.zeros((n, m_shard), np.int32)
+    mst = np.zeros((n, m_shard), np.int8)
+    msq = np.full((n, m_shard), -1, np.int32)
+    mk = np.full((n, m_shard), KEY_MAX, np.int64)
+    row0 = np.zeros((n, 1), np.int32)
+    kb = np.full(n + 1, KEY_MAX, np.int64)
+    kb[0] = KEY_MIN
+    for d in range(n):
+        lo, hi = bounds[d], min(bounds[d + 1] + halo, M)
+        m = hi - lo
+        mh[d, :m] = idx.mi_hash[lo:hi]
+        mwp[d, :m] = idx.mi_wpos[lo:hi]
+        mwe[d, :m] = idx.mi_wend[lo:hi]
+        mst[d, :m] = idx.mi_strand[lo:hi]
+        msq[d, :m] = idx.mi_seqid[lo:hi]
+        mk[d, :m] = key[lo:hi]
+        row0[d, 0] = lo
+        if 0 < d and bounds[d] < M:
+            kb[d] = key[bounds[d]]
+        elif 0 < d:
+            kb[d] = KEY_MAX
+    kb[n] = KEY_MAX
+
     sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
     return ShardedIndex(
         n_shards=n, u_shard=u_shard, p_shard=p_shard,
         uniq=jax.device_put(uniq, sh),
@@ -88,6 +160,16 @@ def build_sharded_index(idx, mesh: Mesh) -> ShardedIndex:
         wpos=jax.device_put(wpos, sh),
         wend=jax.device_put(wend, sh),
         frequent=jax.device_put(freq, sh),
+        m_shard=m_shard,
+        mi_bounds=mi_bounds,
+        mi_row0=jax.device_put(row0, sh),
+        key_bounds=jax.device_put(kb, rep),
+        mi_hash=jax.device_put(mh, sh),
+        mi_wpos=jax.device_put(mwp, sh),
+        mi_wend=jax.device_put(mwe, sh),
+        mi_strand=jax.device_put(mst, sh),
+        mi_seqid=jax.device_put(msq, sh),
+        mi_key=jax.device_put(mk, sh),
     )
 
 
@@ -95,8 +177,8 @@ def build_sharded_index(idx, mesh: Mesh) -> ShardedIndex:
                    static_argnames=("cfg", "mesh", "p_shard"))
 def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
                     sidx_wend, sidx_freq, min_hits_table, cutoff_table,
-                    allowed, ref_group, mi_key, cfg: L1Config,
-                    mesh: Mesh, p_shard: int):
+                    allowed, ref_group, mi_key_s, mi_row0, key_bounds,
+                    cfg: L1Config, mesh: Mesh, p_shard: int):
     """Hash-range-sharded l1_step: same packed output, different layout.
 
     Inputs except the sidx_* tables are replicated; fragments are owned
@@ -114,7 +196,8 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
     q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
 
     def body(q_hash, q_strand, q_cx, uniq_s, offs_s, pseq_s, pwp_s,
-             pwe_s, freq_s, allowed, ref_group, mh_table, ct, mi_key):
+             pwe_s, freq_s, allowed, ref_group, mh_table, ct, mi_key_s,
+             mi_row0, key_bounds):
         uniq_l = uniq_s[0]
         offs_l = offs_s[0]
         U_s = uniq_l.shape[0]
@@ -185,9 +268,32 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
             g_seq, g_wp, g_we, valid_all, rows(s_q), rows(min_hits),
             ref_group, ct, cfg)
 
-        from ..kernels.mapdev import l2_slice_bounds
-        c_lo, c_mid, c_hi = l2_slice_bounds(
-            mi_key, c_seq, c_first, c_last, cfg.seg_length)
+        # l2 slice bounds against the contig-range-SHARDED key array:
+        # each shard binary-searches its slab for every device's
+        # candidates (an all_gather of the small key triples), keeps the
+        # keys its value range owns, and a psum assembles the global
+        # insertion points (slab-local position + slab row offset —
+        # exact because slab boundaries are key-aligned).
+        seq64 = c_seq.astype(jnp.int64) << 32
+        lo_k = seq64 | jnp.maximum(
+            0, c_first.astype(jnp.int64) - cfg.seg_length - 1)
+        mid_k = seq64 | jnp.maximum(0, c_first).astype(jnp.int64)
+        hi_k = seq64 | (c_last.astype(jnp.int64) + 1)
+        C = c_seq.shape[1]
+        keys3 = jnp.concatenate([lo_k, mid_k, hi_k], axis=1)  # (Bl, 3C)
+        keys3 = jax.lax.all_gather(keys3, "data", axis=0, tiled=True)
+        slab = mi_key_s[0]
+        pos = (jnp.searchsorted(slab, keys3).astype(jnp.int32)
+               + mi_row0[0, 0])
+        kb_lo = jax.lax.dynamic_slice_in_dim(
+            key_bounds, jax.lax.axis_index("data"), 1)[0]
+        kb_hi = jax.lax.dynamic_slice_in_dim(
+            key_bounds, jax.lax.axis_index("data") + 1, 1)[0]
+        owned = (keys3 >= kb_lo) & (keys3 < kb_hi)
+        posg = jax.lax.psum(jnp.where(owned, pos, 0), "data")
+        posg = rows(posg)
+        c_lo, c_mid, c_hi = (posg[:, :C], posg[:, C:2 * C],
+                             posg[:, 2 * C:])
 
         qh32 = jax.lax.bitcast_convert_type(
             rows(q_hash_c), jnp.uint32).reshape(Bl, 2 * s).astype(
@@ -205,9 +311,39 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
                   P("data"), P("data"), P("data"), P(), P(), P(), P(),
-                  P()),
+                  P("data"), P("data"), P()),
         out_specs=P("data"),
         check_rep=False,
     )(q_hash, q_strand, q_cx, sidx_uniq, sidx_offs, sidx_seqid,
       sidx_wpos, sidx_wend, sidx_freq, allowed, ref_group,
-      min_hits_table, cutoff_table, mi_key)
+      min_hits_table, cutoff_table, mi_key_s, mi_row0, key_bounds)
+
+
+@functools.partial(jax.jit, static_argnames=("t_cap", "s", "mesh"))
+def l2_step_sharded(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
+                    mi_hash_s, mi_wpos_s, mi_wend_s, mi_strand_s,
+                    mi_seqid_s, t_cap: int, s: int, mesh: Mesh):
+    """l2_step over the contig-range-sharded interval table.
+
+    Work items arrive pre-routed: row d of the stacked (n, W) inputs
+    holds the items whose [lo, hi) slice lives on shard d, with bounds
+    already rebased to slab-local rows (engine does the routing from
+    ShardedIndex.mi_bounds). Every shard runs the standard l2_step on
+    its slab; the (n, W, buf) output keeps the per-shard layout.
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..kernels.mapdev import l2_step
+
+    def body(w_lo, w_mid, w_hi, w_seq, qh, qs, sqv,
+             mh, mwp, mwe, mst, msq):
+        return l2_step(w_lo[0], w_mid[0], w_hi[0], w_seq[0], qh[0],
+                       qs[0], sqv[0], mh[0], mwp[0], mwe[0], mst[0],
+                       msq[0], t_cap, s)[None]
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"),) * 12,
+        out_specs=P("data"),
+        check_rep=False,
+    )(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
+      mi_hash_s, mi_wpos_s, mi_wend_s, mi_strand_s, mi_seqid_s)

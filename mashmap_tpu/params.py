@@ -91,6 +91,8 @@ class Parameters:
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    no_progress: bool = False       # reference always paints its meter
+    # (progress.hpp:25-38); this flag is the opt-out
     batch_fragments: int = 512      # fragments per device batch
     use_device_pipeline: bool = True
     shard_index: bool = False       # hash-range-shard postings over the
