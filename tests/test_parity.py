@@ -11,8 +11,9 @@ Known, documented divergence sources (kept small by construction):
   bottom-s set semantics;
 - merged-chain representative rows (PAF col 10) depend on the reference's
   unstable std::sort for chains > 16 rows.
-The tests therefore require a high match fraction plus exact agreement on
-the core columns for matching (query, position-bucket) keys.
+The split-fragment path has NO known divergence: every split-path test
+requires 100% exactly-matching rows. The windowed (--noSplit) path is
+the one itemized exception (few-bp placement, bounded at 16bp below).
 """
 
 import os
@@ -66,8 +67,10 @@ def paf_core(line):
             f[12] if len(f) > 12 else "")
 
 
-def compare(ref_lines, our_lines, min_exact=0.95):
-    """Fraction of exactly matching core rows must be >= min_exact."""
+def compare(ref_lines, our_lines, min_exact=1.0):
+    """Fraction of exactly matching core rows must be >= min_exact
+    (default: EVERY row matches — the split-fragment path has no known
+    divergence from the reference binary)."""
     a = set(map(paf_core, ref_lines))
     b = set(map(paf_core, our_lines))
     inter = len(a & b)
@@ -139,7 +142,7 @@ def test_parity_unmerged_multimapping(tmp_path, oracle_bin):
     assert len(ref_lines) >= 50
     # full-line comparison (every column incl. jc:f:)
     a, b = set(ref_lines), set(our_lines)
-    assert len(a & b) / max(len(a), len(b)) >= 0.98, (
+    assert len(a & b) / max(len(a), len(b)) >= 1.0, (
         sorted(a - b)[:5], sorted(b - a)[:5])
 
 
@@ -162,7 +165,7 @@ def test_parity_tandem_repeats(tmp_path, oracle_bin):
         percentage_identity=0.80, merge_mappings=False,
         num_mappings_for_segment=3)
     a, b = set(ref_lines), set(our_lines)
-    assert len(a & b) / max(len(a), len(b)) >= 0.95, (
+    assert len(a & b) / max(len(a), len(b)) >= 1.0, (
         sorted(a - b)[:5], sorted(b - a)[:5])
 
 
@@ -192,7 +195,13 @@ def test_parity_nosplit_windowed(tmp_path, oracle_bin):
         assert rf[0] == of[0] and rf[4] == of[4] and rf[5] == of[5]
         assert rf[9] == of[9], "conserved sketches differ"
         assert rf[12] == of[12], "ANI differs"
-        assert abs(int(rf[7]) - int(of[7])) <= 50, (rl, ol)
+        # the ONLY residual divergence class: the reference's windowed
+        # (--noSplit) path carries its authors' own bookkeeping bugs
+        # (commonFunc.hpp:522-528,560-568; see map/l2.py docstring), so
+        # placement may differ by a few bp — observed 6bp on this
+        # fixture; identity, counts and spans match exactly (PARITY.md)
+        assert abs(int(rf[7]) - int(of[7])) <= 16, (rl, ol)
+        assert (int(rf[8]) - int(rf[7])) == (int(of[8]) - int(of[7]))
 
 
 def test_parity_legacy_output(tmp_path, oracle_bin):
