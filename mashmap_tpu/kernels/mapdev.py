@@ -263,20 +263,20 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     c_lo, c_mid, c_hi = l2_slice_bounds(
         mi_key, c_seq, c_first, c_last, cfg.seg_length)
 
-    # pack EVERYTHING into ONE (B, 4+7C+3s) i32 buffer: on tunneled TPU
-    # backends every device->host array fetch pays ~300ms of latency, so
-    # one fetch per batch beats one per output. u64 sketch hashes ride
-    # as two i32 lanes; complexity rides as its f32 bit pattern.
-    qh32 = jax.lax.bitcast_convert_type(
-        q_hash_c, jnp.uint32).reshape(B, 2 * s).astype(jnp.int32)
+    # pack the small per-fragment outputs into ONE (B, 4+7C) i32
+    # buffer: on tunneled TPU backends every device->host array fetch
+    # pays ~300ms of latency, so one fetch per batch beats one per
+    # output. The compacted sketches (the bulk of the bytes) are
+    # returned as SEPARATE device arrays that never cross to the host:
+    # l2_step gathers its rows device-side by fragment index, and the
+    # rare host-fallback fragments fetch just their rows on demand.
     meta = jnp.concatenate([
         s_q[:, None], n_cand[:, None],
         (overflow_l1 | overflow_c).astype(jnp.int32)[:, None],
         jax.lax.bitcast_convert_type(
             q_cx.astype(jnp.float32), jnp.int32)[:, None],
-        c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi,
-        qh32, q_strand_c.astype(jnp.int32)], axis=1)
-    return meta
+        c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi], axis=1)
+    return meta, q_hash_c, q_strand_c.astype(jnp.int8)
 
 
 def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
@@ -297,13 +297,10 @@ def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
     return c_lo, c_mid, c_hi
 
 
-def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
-    """Host-side view splitter for l1_step's packed output buffer."""
+def unpack_l1_meta(meta: np.ndarray, c_cap: int):
+    """Host-side view splitter for l1_step's packed output buffer
+    (sketches live in l1_step's separate device outputs)."""
     C = c_cap
-    o = 4 + 7 * C
-    qh = np.ascontiguousarray(
-        meta[:, o:o + 2 * s]).view(np.uint32).astype(
-        np.uint64).reshape(-1, s, 2)
     return {
         "s_q": meta[:, 0],
         "n_cand": meta[:, 1],
@@ -317,8 +314,6 @@ def unpack_l1_meta(meta: np.ndarray, c_cap: int, s: int):
         "cand_lo": meta[:, 4 + 4 * C:4 + 5 * C],
         "cand_mid": meta[:, 4 + 5 * C:4 + 6 * C],
         "cand_hi": meta[:, 4 + 6 * C:4 + 7 * C],
-        "q_hash": qh[:, :, 0] | (qh[:, :, 1] << np.uint64(32)),
-        "q_strand": meta[:, o + 2 * s:o + 3 * s].astype(np.int8),
     }
 
 

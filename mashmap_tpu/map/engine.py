@@ -78,6 +78,9 @@ class Mapper:
         self.total_reads_mapped = 0
         self.total_seq_counter = 0
         self.total_bp = 0
+        # device-path observability: which escalation/fallback paths ran
+        self.path_stats = {"host_frags": 0, "host_l2": 0,
+                           "l2_buckets": {}}
 
     # --- prefix grouping (computeMap.hpp:144-177) ---
     @staticmethod
@@ -600,14 +603,14 @@ class Mapper:
             rep_put = (lambda x: jax.device_put(
                 np.asarray(x), jax.sharding.NamedSharding(
                     self._mesh, jax.sharding.PartitionSpec())))
-            out = l1_step_sharded(
+            out, qh_dev, qs_dev = l1_step_sharded(
                 rep_put(matp), si.uniq, si.offsets, si.seqid, si.wpos,
                 si.wend, si.frequent, dev["min_hits_table"],
                 dev["cutoff_table"], rep_put(allowedp),
                 dev["ref_group"], si.mi_key, si.mi_row0, si.key_bounds,
                 cfg, self._mesh, si.p_shard)
         else:
-            out = l1_step(
+            out, qh_dev, qs_dev = l1_step(
                 self._put_batch(matp), dev["uniq_hashes"],
                 dev["post_offsets"],
                 dev["post_seqid"], dev["post_wpos"], dev["post_wend"],
@@ -619,8 +622,7 @@ class Mapper:
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
-        o = unpack_l1_meta(
-            jax.device_get(out)[:B], cfg.c_cap, p.sketch_size)
+        o = unpack_l1_meta(jax.device_get(out)[:B], cfg.c_cap)
         _mark("l1-fetch")
 
         # complexity rescale for 'N'-padded fragments
@@ -636,6 +638,7 @@ class Mapper:
         for i, fr in enumerate(frags):
             if o["overflow"][i]:
                 host_frags.add(i)
+                self.path_stats["host_frags"] += 1
                 continue
             if int(o["s_q"][i]) == 0 \
                     or cx[i] < p.kmer_complexity_threshold:
@@ -658,9 +661,12 @@ class Mapper:
             for t in T_BUCKETS:
                 if span <= t:
                     buckets[t].append(w)
+                    self.path_stats["l2_buckets"][t] = \
+                        self.path_stats["l2_buckets"].get(t, 0) + 1
                     break
             else:
                 host_l2_set.add((w[0], w[1]))
+                self.path_stats["host_l2"] += 1
         loci_by = {}
         from ..kernels.mapdev import unpack_l2_runs
         # dispatch ALL chunks first (async); every chunk's packed run
@@ -692,9 +698,7 @@ class Mapper:
                     w_mid = np.zeros((n_sh, Wp), np.int32)
                     w_hi = np.zeros((n_sh, Wp), np.int32)
                     w_seq = np.zeros((n_sh, Wp), np.int32)
-                    qh = np.full((n_sh, Wp, p.sketch_size),
-                                 np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
-                    qs = np.zeros((n_sh, Wp, p.sketch_size), np.int8)
+                    fidx = np.zeros((n_sh, Wp), np.int32)
                     sqv = np.ones((n_sh, Wp), np.int32)
                     chunk = [None] * (n_sh * Wp)
                     for d in range(n_sh):
@@ -705,13 +709,20 @@ class Mapper:
                             w_mid[d, rr] = mid - row0
                             w_hi[d, rr] = hi - row0
                             w_seq[d, rr] = int(o["cand_seq"][i, j])
-                            qh[d, rr] = o["q_hash"][i]
-                            qs[d, rr] = o["q_strand"][i]
+                            fidx[d, rr] = i
                             sqv[d, rr] = o["s_q"][i]
                             chunk[d * Wp + rr] = (i, j, lo, mid, hi)
+                    # sketches never visit the host: gather rows from
+                    # l1's device-resident outputs by fragment index
+                    fi = jnp.asarray(fidx.ravel())
+                    qh = jax.device_put(jnp.take(qh_dev, fi, axis=0)
+                                        .reshape(n_sh, Wp, -1), shp)
+                    qs = jax.device_put(jnp.take(qs_dev, fi, axis=0)
+                                        .reshape(n_sh, Wp, -1), shp)
                     buf = l2_step_sharded(
                         *(jax.device_put(a, shp) for a in
-                          (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv)),
+                          (w_lo, w_mid, w_hi, w_seq)),
+                        qh, qs, jax.device_put(sqv, shp),
                         si.mi_hash, si.mi_wpos, si.mi_wend,
                         si.mi_strand, si.mi_seqid, T, p.sketch_size,
                         self._mesh)
@@ -728,22 +739,26 @@ class Mapper:
                 w_mid = np.zeros(Wp, np.int32)
                 w_hi = np.zeros(Wp, np.int32)
                 w_seq = np.zeros(Wp, np.int32)
-                qh = np.full((Wp, p.sketch_size),
-                             np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
-                qs = np.zeros((Wp, p.sketch_size), np.int8)
+                fidx = np.zeros(Wp, np.int32)
                 sqv = np.ones(Wp, np.int32)
                 for r, (i, j, lo, mid, hi) in enumerate(chunk):
                     w_lo[r], w_mid[r], w_hi[r] = lo, mid, hi
                     w_seq[r] = int(o["cand_seq"][i, j])
-                    qh[r] = o["q_hash"][i]
-                    qs[r] = o["q_strand"][i]
+                    fidx[r] = i
                     sqv[r] = o["s_q"][i]
+                # sketches never visit the host: device-side row gather
+                fi = jnp.asarray(fidx)
+                qh = jnp.take(qh_dev, fi, axis=0)
+                qs = jnp.take(qs_dev, fi, axis=0)
                 if self._shard_data is not None:
                     args = tuple(self._put_batch(a) for a in (
-                        w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
+                        w_lo, w_mid, w_hi, w_seq)) + (
+                        self._put_batch(qh), self._put_batch(qs),
+                        self._put_batch(sqv))
                 else:
                     args = jax.device_put(
-                        (w_lo, w_mid, w_hi, w_seq, qh, qs, sqv))
+                        (w_lo, w_mid, w_hi, w_seq)) + (qh, qs,
+                                                       jnp.asarray(sqv))
                 buf = l2_step(*args,
                               dev["mi_hash"], dev["mi_wpos"],
                               dev["mi_wend"], dev["mi_strand"],
@@ -774,7 +789,18 @@ class Mapper:
                     strands[r], int(o["cand_seq"][i, j]),
                     p.seg_length)
 
-        # per-fragment row assembly with exact pruning semantics
+        # per-fragment row assembly with exact pruning semantics.
+        # Sketch rows are fetched ONLY for fragments whose L2 replays on
+        # the host (one tiny gather+fetch; usually none).
+        need = sorted({i for (i, _j) in host_l2_set})
+        qh_host = {}
+        if need:
+            idxs = jnp.asarray(np.asarray(need, np.int32))
+            qh_rows, qs_rows = jax.device_get(
+                (jnp.take(qh_dev, idxs, axis=0),
+                 jnp.take(qs_dev, idxs, axis=0)))
+            qh_host = {i: (qh_rows[t], qs_rows[t])
+                       for t, i in enumerate(need)}
         rows_by_frag = []
         for i, fr in enumerate(frags):
             q = queries[fr.query_idx]
@@ -789,8 +815,11 @@ class Mapper:
             if s_q == 0 or cx[i] < p.kmer_complexity_threshold:
                 rows_by_frag.append([])
                 continue
-            hashes = o["q_hash"][i][:s_q]
-            strands = o["q_strand"][i][:s_q].astype(np.int64)
+            if i in qh_host:
+                hashes = qh_host[i][0][:s_q]
+                strands = qh_host[i][1][:s_q].astype(np.int64)
+            else:       # only consumed on host-L2 replay, never here
+                hashes = strands = None
             cands = [
                 l1_mod.L1Candidate(
                     int(o["cand_seq"][i, j]), int(o["cand_start"][i, j]),

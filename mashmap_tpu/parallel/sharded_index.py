@@ -295,24 +295,22 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         c_lo, c_mid, c_hi = (posg[:, :C], posg[:, C:2 * C],
                              posg[:, 2 * C:])
 
-        qh32 = jax.lax.bitcast_convert_type(
-            rows(q_hash_c), jnp.uint32).reshape(Bl, 2 * s).astype(
-            jnp.int32)
         meta = jnp.concatenate([
             rows(s_q)[:, None], n_cand[:, None],
             (rows(overflow_l1) | overflow_c).astype(jnp.int32)[:, None],
             jax.lax.bitcast_convert_type(
                 rows(q_cx).astype(jnp.float32), jnp.int32)[:, None],
-            c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi,
-            qh32, rows(q_strand_c).astype(jnp.int32)], axis=1)
-        return meta
+            c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi], axis=1)
+        # sketches are derived from replicated inputs, so every shard
+        # already holds the full (B, s) arrays — return them unsharded
+        return meta, q_hash_c, q_strand_c.astype(jnp.int8)
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
                   P("data"), P("data"), P("data"), P(), P(), P(), P(),
                   P("data"), P("data"), P()),
-        out_specs=P("data"),
+        out_specs=(P("data"), P(), P()),
         check_rep=False,
     )(q_hash, q_strand, q_cx, sidx_uniq, sidx_offs, sidx_seqid,
       sidx_wpos, sidx_wend, sidx_freq, allowed, ref_group,

@@ -30,6 +30,23 @@ def merged_len(intervals):
     return total
 
 
+def coverage_by_sequence(lengths, paf_lines):
+    """name -> mapped coverage fraction (query+target intervals merged),
+    the scripts/test.sh:13-25 semantics. ``lengths`` maps every sequence
+    name to its length; ``paf_lines`` yields PAF rows."""
+    spans = {name: [] for name in lengths}
+    for line in paf_lines:
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 9:
+            continue
+        if f[0] in spans:
+            spans[f[0]].append((int(f[2]), int(f[3])))
+        if f[5] in spans:
+            spans[f[5]].append((int(f[7]), int(f[8])))
+    return {name: (merged_len(spans[name]) / ln if ln else 0.0)
+            for name, ln in lengths.items()}
+
+
 def main(argv):
     if len(argv) != 4:
         print(__doc__, file=sys.stderr)
@@ -40,19 +57,10 @@ def main(argv):
         for line in fh:
             f = line.split("\t")
             lengths[f[0]] = int(f[1])
-    spans = {name: [] for name in lengths}
     with open(paf) as fh:
-        for line in fh:
-            f = line.rstrip("\n").split("\t")
-            if f[0] in spans:
-                spans[f[0]].append((int(f[2]), int(f[3])))
-            if f[5] in spans:
-                spans[f[5]].append((int(f[7]), int(f[8])))
+        cov_map = coverage_by_sequence(lengths, fh)
     print("#seq.name\tcoverage")
-    rows = []
-    for name, ln in lengths.items():
-        cov = merged_len(spans[name]) / ln if ln else 0.0
-        rows.append((name, cov))
+    rows = list(cov_map.items())
     failed = False
     for name, cov in sorted(rows, key=lambda r: (-r[1], r[0])):
         print(f"{name}\t{cov:f}")

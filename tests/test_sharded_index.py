@@ -54,7 +54,7 @@ groups = np.zeros(idx.n_contigs, np.int32)
 mi_key = jnp.asarray((idx.mi_seqid.astype(np.int64) << 32)
                      | idx.mi_wpos.astype(np.int64))
 
-rep = l1_step(
+rep, rep_qh, rep_qs = l1_step(
     jnp.asarray(frags), jnp.asarray(idx.uniq_hashes),
     jnp.asarray(idx.post_offsets.astype(np.int32)),
     jnp.asarray(idx.post_seqid), jnp.asarray(idx.post_wpos),
@@ -64,19 +64,22 @@ rep = l1_step(
 
 mesh = make_mesh(8)
 sidx = build_sharded_index(idx, mesh)
-shd = l1_step_sharded(
+shd, shd_qh, shd_qs = l1_step_sharded(
     jnp.asarray(frags), sidx.uniq, sidx.offsets, sidx.seqid,
     sidx.wpos, sidx.wend, sidx.frequent, jnp.asarray(mh),
     jnp.asarray(ct), jnp.asarray(allowed), jnp.asarray(groups),
     sidx.mi_key, sidx.mi_row0, sidx.key_bounds, cfg, mesh,
     sidx.p_shard)
 
-a = unpack_l1_meta(np.asarray(rep), cfg.c_cap, s)
-b = unpack_l1_meta(np.asarray(shd), cfg.c_cap, s)
+a = unpack_l1_meta(np.asarray(rep), cfg.c_cap)
+b = unpack_l1_meta(np.asarray(shd), cfg.c_cap)
 for key in ("s_q", "n_cand", "overflow", "cand_seq", "cand_start",
-            "cand_end", "cand_inter", "cand_lo", "cand_mid", "cand_hi",
-            "q_hash", "q_strand"):
+            "cand_end", "cand_inter", "cand_lo", "cand_mid", "cand_hi"):
     np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+np.testing.assert_array_equal(np.asarray(rep_qh), np.asarray(shd_qh))
+np.testing.assert_array_equal(np.asarray(rep_qs), np.asarray(shd_qs))
+a["q_hash"] = np.asarray(rep_qh)
+a["q_strand"] = np.asarray(rep_qs)
 assert a["n_cand"].sum() > 0, "no candidates produced"
 
 # ---- l2_step on the contig-range mi slabs == replicated l2_step
