@@ -372,7 +372,14 @@ def theta_scan_ranks_jax(
         row_mult = 8
 
     chunk = _theta_chunk_rows(s, s_b)
-    chunk = min(chunk, 1 << max(3, (n_total - 1).bit_length()))
+    # clamp to a {2^k, 1.5*2^k} grid just above the real block count:
+    # plain pow2 rounding pads up to 2x (the merge is the build's
+    # costliest kernel, so padding waste is real seconds), while the
+    # grid keeps the distinct XLA shapes per (s, s_b) to a handful
+    p2 = 1 << max(3, (n_total - 1).bit_length())
+    if n_total <= (p2 * 3) // 4:
+        p2 = (p2 * 3) // 4
+    chunk = min(chunk, p2)
     chunk = max(row_mult, chunk - chunk % row_mult)
     pieces = []
     for c0 in range(0, n_total, chunk):
@@ -455,7 +462,10 @@ def theta_scan_ranks(
     chunk = _theta_chunk_rows(s, s_b)
     # don't pad a small genome up to the full chunk: clamp to the next
     # power of two above the actual block count (still few XLA shapes)
-    chunk = min(chunk, 1 << max(3, (n_total - 1).bit_length()))
+    p2 = 1 << max(3, (n_total - 1).bit_length())
+    if n_total <= (p2 * 3) // 4:
+        p2 = (p2 * 3) // 4
+    chunk = min(chunk, p2)
     chunk = max(row_mult, chunk - chunk % row_mult)
     theta_rank = np.empty((n_total, s_b), dtype=np.int32)
     for c0 in range(0, n_total, chunk):
