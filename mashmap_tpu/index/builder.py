@@ -43,7 +43,14 @@ logger = logging.getLogger("mashmap_tpu.index")
 FWD = np.int8(1)
 REV = np.int8(-1)
 
-_HASH_SLAB = 1 << 23  # k-mer positions hashed per device call
+_HASH_SLAB = 1 << 23  # raw BYTES hashed per device call (pow2 so the
+# padded slab shape is exactly this; the slab STEP in k-mer positions
+# is _HASH_SLAB - k + 1 — stepping by _HASH_SLAB made every raw slab
+# _HASH_SLAB + k - 1 bytes, which pow2-padding doubled to 2^24)
+
+
+def _slab_step(k: int) -> int:
+    return _HASH_SLAB - k + 1
 
 
 def _pad_len(n: int, lo: int = 1 << 15) -> int:
@@ -89,8 +96,8 @@ def _canonical_hash_contig(seq_u8: np.ndarray, k: int):
     st = np.empty(n, np.int8)
     valid = np.empty(n, bool)
     fn = _hash_slab_fn(k)
-    for lo in range(0, n, _HASH_SLAB):
-        hi = min(lo + _HASH_SLAB, n)
+    for lo in range(0, n, _slab_step(k)):
+        hi = min(lo + _slab_step(k), n)
         raw = seq_u8[lo:hi + k - 1]
         padded_L = _pad_len(len(raw))
         if padded_L > len(raw):
@@ -722,8 +729,8 @@ def _build_group(
         seq_u8 = kmers.sanitize(seq.encode("ascii"))
         n = len(seq_u8) - kmer_size + 1
         start = concat_off
-        for lo in range(0, n, _HASH_SLAB):
-            hi = min(lo + _HASH_SLAB, n)
+        for lo in range(0, n, _slab_step(kmer_size)):
+            hi = min(lo + _slab_step(kmer_size), n)
             raw = seq_u8[lo:hi + kmer_size - 1]
             padded_L = _pad_len(len(raw))
             if padded_L > len(raw):
@@ -757,7 +764,7 @@ def _build_group(
         got = 0
         off = start
         while got < n:
-            take = min(_HASH_SLAB, n - got)
+            take = min(_slab_step(kmer_size), n - got)
             slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
             pieces.append(arrs[off:off + take])
             off += slab_len
@@ -792,7 +799,7 @@ def _build_group(
             got = 0
             off = start
             while got < n:
-                take = min(_HASH_SLAB, n - got)
+                take = min(_slab_step(kmer_size), n - got)
                 slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
                 pieces.append(arr[off:off + take])
                 off += slab_len

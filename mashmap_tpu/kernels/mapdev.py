@@ -203,7 +203,10 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
 
     # --- frequent-seed filter + compaction (order-preserving) ---
-    pos0 = jnp.searchsorted(uniq_hashes, q_hash)          # (B, s)
+    # method='sort': B*s binary-search gather rounds into the unique-
+    # hash table are the slow op class on this TPU stack
+    pos0 = jnp.searchsorted(uniq_hashes, q_hash,
+                            method="sort")                # (B, s)
     posc = jnp.minimum(pos0, max(U - 1, 0))
     found = (q_hash != UMAX)
     if U > 0:
