@@ -108,3 +108,63 @@ def test_report_percentage(data):
     for line in open(d / "pct.paf"):
         ani = float(line.split("id:f:")[1].split("\t")[0])
         assert 50.0 <= ani <= 100.0     # percentage scale, not [0,1]
+
+
+def test_freq_threshold_decisions(tmp_path):
+    """computeFreqHist parity at boundary percentages on a repeat-heavy
+    input: the descending accumulate-vs-to_ignore walk must pick the
+    SAME ignore threshold as the reference (winSketch.hpp:410-453), and
+    the mapping output must agree on every core column."""
+    import re
+
+    import numpy as np
+
+    from mashmap_tpu.api import build_or_load_index
+
+    units = [random_genome(300, seed=200 + i) for i in range(6)]
+    g = random_genome(20_000, seed=210)
+    for i, u in enumerate(units):
+        g += u * (4 + 6 * i) + random_genome(5_000, seed=220 + i)
+    ref = str(tmp_path / "ref.fa")
+    qf = str(tmp_path / "q.fa")
+    write_fasta(ref, [("chr1", g)])
+    write_fasta(qf, [("q1", mutate(g, 0.03, seed=230))])
+    r = subprocess.run([os.path.join(HERE, "oracle", "build_ref.sh")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip("oracle build failed")
+
+    for pct in (10.0, 5.0, 2.0, 1.0, 0.001):
+        out_r = str(tmp_path / "r.paf")
+        r = subprocess.run(
+            [ORACLE, "-r", ref, "-q", qf, "-o", out_r, "-k", "15",
+             "-s", "500", "-J", "60", "--pi", "80",
+             "--kmerThreshold", str(pct)],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-1000:]
+        m = re.search(r"ignore minmers occurring >= (\d+) times",
+                      r.stderr)
+        ref_thr = int(m.group(1)) if m else None
+        p = Parameters(
+            ref_sequences=[ref], query_sequences=[qf],
+            out_file_name=str(tmp_path / "o.paf"), kmer_size=15,
+            seg_length=500, sketch_size=60, percentage_identity=0.80,
+            kmer_pct_threshold=pct, no_progress=True)
+        idx = build_or_load_index(p.finalize())
+        ours_thr = (None if idx.freq_threshold >= np.iinfo(np.int64).max
+                    else int(idx.freq_threshold))
+        assert ours_thr == ref_thr, (pct, ours_thr, ref_thr)
+        map_files(p, idx)
+
+        def core(line):
+            # all columns except col 10 (merged-chain representative,
+            # PARITY.md) with the id:f tag rounded to 4 decimals (the
+            # merged-row ANI mean is float-summation-order sensitive in
+            # its 6th significant digit)
+            f = line.rstrip("\n").split("\t")
+            f[12] = str(round(float(f[12].split(":")[-1]), 4))
+            return tuple(f[:9] + f[10:])
+
+        a = [core(l) for l in open(out_r)]
+        b = [core(l) for l in open(tmp_path / "o.paf")]
+        assert a and a == b, f"rows differ beyond col 10 at pct={pct}"
