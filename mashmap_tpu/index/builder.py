@@ -40,6 +40,10 @@ from ..kernels.winnow import SENTINEL
 
 logger = logging.getLogger("mashmap_tpu.index")
 
+# contigs beyond this many positions use the streaming (chunked + halo)
+# events kernel; module-level so tests can force the chunked path
+_EVENTS_CH_MAX = 1 << 24
+
 FWD = np.int8(1)
 REV = np.int8(-1)
 
@@ -217,7 +221,27 @@ def contig_minmer_intervals(
                             W[end2].astype(np.int64)])
     end_h = np.concatenate([h_out[end1], th_Wm1[end2]])
 
-    # --- pair begins with ends per hash ---
+    iv_hash, iv_wb, iv_we, uh = _pair_begin_end(
+        beg_h, beg_W, end_h, end_W, n_flush)
+
+    # --- member occurrences (inputs of the strand machinery) ----------
+    # only occurrences of hashes that have membership intervals matter
+    member_occ = np.isin(sh, uh)
+    mp, mh = sp[member_occ], sh[member_occ]
+    md = strand[mp].astype(np.int64)
+
+    s_hash, s_wb, s_we, s_strand = strand_classify(
+        iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k, h.dtype)
+    return (iv_hash, iv_wb, iv_we), (s_hash, s_wb, s_we, s_strand)
+
+
+def _pair_begin_end(beg_h, beg_W, end_h, end_W, n_flush):
+    """Pair the j-th begin of every hash with its j-th end.
+
+    Inputs need not be sorted. Returns (iv_hash, iv_wb, iv_we,
+    unique_begin_hashes); unmatched begins flush at ``n_flush``
+    (reference flush value len-k+1, commonFunc.hpp:508-520).
+    """
     ob = np.lexsort((beg_W, beg_h))
     beg_W, beg_h = beg_W[ob], beg_h[ob]
     oe = np.lexsort((end_W, end_h))
@@ -249,16 +273,7 @@ def contig_minmer_intervals(
     iv_we[flush_b] = n_flush
     # (by construction, within each hash begins and ends interleave:
     #  b_0 < e_0 <= b_1 < e_1 ... — validated in tests)
-
-    # --- member occurrences (inputs of the strand machinery) ----------
-    # only occurrences of hashes that have membership intervals matter
-    member_occ = np.isin(sh, uh)
-    mp, mh = sp[member_occ], sh[member_occ]
-    md = strand[mp].astype(np.int64)
-
-    s_hash, s_wb, s_we, s_strand = strand_classify(
-        iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k, h.dtype)
-    return (iv_hash, iv_wb, iv_we), (s_hash, s_wb, s_we, s_strand)
+    return iv_hash, iv_wb, iv_we, uh
 
 
 def strand_classify(iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k,
@@ -681,6 +696,7 @@ def _build_group(
     sketch_size: int,
     threads: int,
     dev_limit: int,
+    force_host: bool = False,
 ):
     """Index-build pipeline for one contig group.
 
@@ -710,7 +726,7 @@ def _build_group(
     import jax.numpy as jnp
     fn = _hash_slab_fn(kmer_size)
     slab_h, slab_st, slab_valid = [], [], []
-    host_mode = False
+    host_mode = force_host
     # (seq_id, start_in_concat_with_pads, n_kmers)
     spans_c: List[Tuple[int, int, int]] = []
     concat_off = 0
@@ -792,7 +808,9 @@ def _build_group(
                 hm, jnp.full(padded - total, winnow.SENTINEL, jnp.uint64)])
         ranks_dev, lut_dev = winnow._rank_reduce(hm)
         st_dev = jnp.concatenate(slab_st)
-        del slab_h, slab_st, slab_valid
+        # free aggressively: a 256M-position group's events kernel needs
+        # a multi-GB transient, and dead u64 buffers OOM the 16G HBM
+        del hm, slab_h, slab_st, slab_valid
 
         def slab_views_dev(arr, start, n):
             pieces = []
@@ -811,33 +829,77 @@ def _build_group(
                       for _, start, n in spans_c]
         st_views = [slab_views_dev(st_dev, start, n)
                     for _, start, n in spans_c]
+        del ranks_dev, st_dev    # views are independent device buffers
         thetas_dev = winnow.theta_scan_ranks_jax(
             rank_views, sketch_size, span)
         _mark("rank+theta")
 
         from ..kernels import events as events_mod
+        # contigs beyond CH_MAX positions run the STREAMING events
+        # kernel: fixed-size position chunks with an s_b halo, so the
+        # device transient is O(chunk) however long the chromosome —
+        # begins/ends come back unpaired and pair on the host
+        # (_pair_begin_end over the sparse events)
+        CH_MAX = _EVENTS_CH_MAX
         bufs, meta_ev = [], []
         for i, (seq_id, start, n) in enumerate(spans_c):
             th = thetas_dev[i]
             if th is None:
                 continue
             n_w = n - span + 1
-            Np = _pad_len(n)
-            rv = rank_views[i]
-            sv = st_views[i]
-            if Np > n:
-                rv = jnp.concatenate(
-                    [rv, jnp.full(Np - n, winnow.RSENT, jnp.int32)])
-                sv = jnp.concatenate([sv, jnp.zeros(Np - n, jnp.int8)])
-            th = jnp.concatenate(
-                [th, jnp.full(Np - n_w, winnow.RSENT, jnp.int32)])
-            iv_cap = max(1 << 12, Np >> events_mod.IV_CAP_SHIFT)
-            mem_cap = max(1 << 12, Np >> events_mod.MEM_CAP_SHIFT)
-            bufs.append(events_mod.events_step(
-                rv, sv, th, np.int32(n), np.int32(n_w), span,
-                iv_cap, mem_cap))
-            meta_ev.append((i, seq_id, n, n_w, iv_cap, mem_cap,
-                            len(bufs[-1])))
+            if n <= CH_MAX:
+                Np = _pad_len(n)
+                rv = rank_views[i]
+                sv = st_views[i]
+                if Np > n:
+                    rv = jnp.concatenate(
+                        [rv, jnp.full(Np - n, winnow.RSENT, jnp.int32)])
+                    sv = jnp.concatenate(
+                        [sv, jnp.zeros(Np - n, jnp.int8)])
+                th = jnp.concatenate(
+                    [th, jnp.full(Np - n_w, winnow.RSENT, jnp.int32)])
+                iv_cap, mem_cap = events_mod.events_caps(
+                    Np, sketch_size, span)
+                bufs.append(events_mod.events_step(
+                    rv, sv, th, np.int32(n), np.int32(n_w), span,
+                    iv_cap, mem_cap))
+                meta_ev.append(("whole", i, seq_id, n, n_w, iv_cap,
+                                mem_cap))
+            else:
+                CHP = CH_MAX + 2 * span
+                beg_cap, mem_cap = events_mod.events_caps(
+                    CHP, sketch_size, span)
+                rvf, svf, thf = rank_views[i], st_views[i], th
+                RS = winnow.RSENT
+
+                def cut(x, fill, dtype, ln, a0):
+                    sl = x[a0:min(a0 + CHP, ln)]
+                    short = CHP - int(sl.shape[0])
+                    if short:
+                        sl = jnp.concatenate(
+                            [sl, jnp.full(short, fill, dtype)])
+                    return sl
+
+                for c0 in range(0, n, CH_MAX):
+                    n_local = min(CH_MAX, n - c0)
+                    a0 = max(0, c0 - span)
+                    bufs.append(events_mod.events_chunk(
+                        cut(rvf, RS, jnp.int32, n, a0),
+                        cut(svf, np.int8(0), jnp.int8, n, a0),
+                        cut(thf, RS, jnp.int32, n_w, a0),
+                        np.int32(a0), np.int32(c0 - a0),
+                        np.int32(n_local), np.int32(n), np.int32(n_w),
+                        span, beg_cap, mem_cap))
+                    meta_ev.append(("chunk", i, seq_id, n, n_w,
+                                    beg_cap, mem_cap))
+            # human-chromosome groups: the events kernels' transients
+            # are GBs, so the originals (kept only for the overflow
+            # fallback, which now redoes the group host-side) must not
+            # stay resident
+            rank_views[i] = None
+            st_views[i] = None
+            thetas_dev[i] = None
+        del rank_views, st_views, thetas_dev
         # Two-phase SIZED fetch. The event buffers are cap-padded (the
         # caps leave >2x headroom), so fetching them whole moves mostly
         # padding across a ~300ms-latency, ~15 MB/s tunnel. Phase A
@@ -846,8 +908,9 @@ def _build_group(
         # (pow2-rounded => few XLA shapes) and phase B fetches only
         # real data in one transfer.
         if bufs:
-            tails = jax.device_get(
-                jnp.concatenate([b[-3:] for b in bufs]))
+            tails = jax.device_get(jnp.concatenate(
+                [b[-4:] if m[0] == "chunk" else b[-3:]
+                 for m, b in zip(meta_ev, bufs)]))
         else:
             tails = np.empty(0, np.int32)
         _mark("events+counts")
@@ -855,47 +918,93 @@ def _build_group(
         def _ceil2(x, lo=256):
             return max(lo, 1 << (int(x) - 1).bit_length()) if x else lo
 
-        per_contig, thetas = [], []   # host-fallback list (overflows)
-        sized = []                    # (i, seq_id, n, n_w, e_iv, e_mem,
-        pieces = []                   #  n_iv, n_mem)
-        for bi, (i, seq_id, n, n_w, iv_cap, mem_cap, blen) \
-                in enumerate(meta_ev):
-            n_iv = int(tails[3 * bi])
-            n_mem = int(tails[3 * bi + 1])
-            ovf = bool(tails[3 * bi + 2]) or n_iv > iv_cap \
-                or n_mem > mem_cap
-            if ovf:   # cap overflow: dense host fallback
-                logger.info(
-                    "contig %d overflowed the event caps; host fallback",
-                    seq_id)
-                per_contig.append((seq_id, np.asarray(rank_views[i]),
-                                   np.asarray(st_views[i])))
-                thetas.append(np.asarray(thetas_dev[i]))
-                continue
-            e_iv, e_mem = _ceil2(n_iv), _ceil2(n_mem)
+        per_contig, thetas = [], []   # (host path only)
+        sized, pieces = [], []
+        toff = 0
+        for bi, m in enumerate(meta_ev):
+            kind, i, seq_id, n, n_w, cap1, mem_cap = m
             b = bufs[bi]
-            pieces += [b[0:e_iv], b[iv_cap:iv_cap + e_iv],
-                       b[2 * iv_cap:2 * iv_cap + e_iv],
-                       b[3 * iv_cap:3 * iv_cap + e_mem],
-                       b[3 * iv_cap + mem_cap:
-                         3 * iv_cap + mem_cap + e_mem]]
-            sized.append((i, seq_id, n, n_w, e_iv, e_mem, n_iv, n_mem))
+            if kind == "whole":
+                n_iv, n_mem, ovf = (int(tails[toff]),
+                                    int(tails[toff + 1]),
+                                    bool(tails[toff + 2]))
+                toff += 3
+                ovf = ovf or n_iv > cap1 or n_mem > mem_cap
+            else:
+                n_bg, n_en, n_mem, ovf = (int(tails[toff]),
+                                          int(tails[toff + 1]),
+                                          int(tails[toff + 2]),
+                                          bool(tails[toff + 3]))
+                toff += 4
+                ovf = ovf or max(n_bg, n_en) > cap1 or n_mem > mem_cap
+            if ovf:   # cap overflow (heavily repetitive group): redo
+                logger.info(    # the whole group on the host path
+                    "contig %d overflowed the event caps; "
+                    "host-path rebuild of its group", seq_id)
+                del bufs, tails, pieces, lut_dev
+                return _build_group(group, kmer_size, window_size,
+                                    sketch_size, threads, dev_limit,
+                                    force_host=True)
+            if kind == "whole":
+                e_iv, e_mem = _ceil2(n_iv), _ceil2(n_mem)
+                pieces += [b[0:e_iv], b[cap1:cap1 + e_iv],
+                           b[2 * cap1:2 * cap1 + e_iv],
+                           b[3 * cap1:3 * cap1 + e_mem],
+                           b[3 * cap1 + mem_cap:
+                             3 * cap1 + mem_cap + e_mem]]
+                sized.append(("whole", i, seq_id, n, n_w, e_iv, e_mem,
+                              n_iv, 0, n_mem))
+            else:
+                e_b, e_m = _ceil2(max(n_bg, n_en)), _ceil2(n_mem)
+                pieces += [b[0:e_b], b[cap1:cap1 + e_b],
+                           b[2 * cap1:2 * cap1 + e_b],
+                           b[3 * cap1:3 * cap1 + e_b],
+                           b[4 * cap1:4 * cap1 + e_m],
+                           b[4 * cap1 + mem_cap:
+                             4 * cap1 + mem_cap + e_m]]
+                sized.append(("chunk", i, seq_id, n, n_w, e_b, e_m,
+                              n_bg, n_en, n_mem))
         all_buf = (jax.device_get(jnp.concatenate(pieces))
                    if pieces else np.empty(0, np.int32))
         _mark("events+fetch")
 
         ev_results = []               # (seq_id, n, n_w, unpacked)
+        chunk_acc = {}                # i -> [bh, bW, eh, eW, mrk, mpos]
+        chunk_info = {}
         off = 0
-        for (i, seq_id, n, n_w, e_iv, e_mem, n_iv, n_mem) in sized:
-            iv = all_buf[off:off + 3 * e_iv].reshape(3, e_iv)[:, :n_iv]
-            mem = all_buf[off + 3 * e_iv:
-                          off + 3 * e_iv + 2 * e_mem].reshape(
-                2, e_mem)[:, :n_mem]
-            off += 3 * e_iv + 2 * e_mem
-            got = (iv[0], iv[1].astype(np.int64),
-                   iv[2].astype(np.int64),
-                   (mem[1] >> 1).astype(np.int64), mem[0],
-                   ((mem[1] & 1) * 2 - 1).astype(np.int64))
+        for (kind, i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
+            if kind == "whole":
+                iv = all_buf[off:off + 3 * e1].reshape(3, e1)[:, :na]
+                mem = all_buf[off + 3 * e1:
+                              off + 3 * e1 + 2 * e2].reshape(
+                    2, e2)[:, :nm]
+                off += 3 * e1 + 2 * e2
+                got = (iv[0], iv[1].astype(np.int64),
+                       iv[2].astype(np.int64),
+                       (mem[1] >> 1).astype(np.int64), mem[0],
+                       ((mem[1] & 1) * 2 - 1).astype(np.int64))
+                ev_results.append((seq_id, n, n_w, got))
+            else:
+                seg = all_buf[off:off + 4 * e1].reshape(4, e1)
+                mm = all_buf[off + 4 * e1:
+                             off + 4 * e1 + 2 * e2].reshape(2, e2)
+                off += 4 * e1 + 2 * e2
+                acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
+                acc[0].append(seg[0, :na])
+                acc[1].append(seg[1, :na])
+                acc[2].append(seg[2, :nb])
+                acc[3].append(seg[3, :nb])
+                acc[4].append(mm[0, :nm])
+                acc[5].append(mm[1, :nm])
+                chunk_info[i] = (seq_id, n, n_w)
+        for i, acc in chunk_acc.items():
+            seq_id, n, n_w = chunk_info[i]
+            bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)
+                                         for a in acc)
+            iv_hash, iv_wb, iv_we, _ = _pair_begin_end(
+                bh, bW.astype(np.int64), eh, eW.astype(np.int64), n)
+            got = (iv_hash, iv_wb, iv_we, mpos.astype(np.int64),
+                   (mrk >> 1), ((mrk & 1) * 2 - 1).astype(np.int64))
             ev_results.append((seq_id, n, n_w, got))
     elif hashed_any and not host_mode:
         # ---- phase 2 (device): global rank reduction; fetch ONLY the

@@ -41,12 +41,24 @@ from .winnow import RSENT
 I32MAX = np.int32(np.iinfo(np.int32).max)
 KEY_PAD = np.int64(0x7FFFFFFFFFFFFFFF)
 
-# caps as a fraction of the padded position count: real densities are
-# ~2*s/span intervals (~0.04/bp at defaults) and similar member-
-# occurrence rates; /8 leaves >2x headroom, overflow falls back to the
-# bit-identical host path.
-IV_CAP_SHIFT = 3     # iv_cap = Np >> 3
+# caps as a fraction of the padded position count. Real densities are
+# ~2*s/span for intervals and similar for member occurrences, so the
+# cap fraction DERIVES from (s, span) with ~2.5x headroom — a fixed
+# shift underflows dense configs (--dense pushes s past 300, i.e.
+# >12.5% density) straight into the slow host path. Overflow falls
+# back to a bit-identical host-path rebuild of the group.
+IV_CAP_SHIFT = 3     # legacy default (tests); prefer events_caps()
 MEM_CAP_SHIFT = 3
+
+
+def events_caps(Np: int, s: int, s_b: int):
+    """(iv_cap, mem_cap) for a padded contig: pow2 fraction of Np with
+    >= 2.5x headroom over the expected ~2*s/s_b event density."""
+    import math
+    shift = max(0, min(6, int(math.floor(
+        math.log2(max(1.0, s_b / (5.0 * s)))))))
+    cap = max(1 << 12, Np >> shift)
+    return cap, cap
 
 
 def _compact(mask, payloads, cap):
@@ -84,19 +96,27 @@ def events_step(ranks, strand, theta, n_k, n_w, s_b: int,
     """
     Np = ranks.shape[0]
     shift = int(Np - 1).bit_length()
-    assert shift <= 30, "contig too long for the packed event keys"
+    # key layout: rank (<= shift bits) | pos (shift bits) | strand (1):
+    # riding the strand in the key instead of a sort payload halves the
+    # sort's live buffers — at 2^28-position contigs (chr1) the payload
+    # operand alone is 2GB in + 2GB out at the peak
+    assert 2 * shift + 1 <= 62, "contig too long for the packed keys"
     pos = jnp.arange(Np, dtype=jnp.int32)
     valid = (ranks != RSENT) & (pos < n_k)
 
     # --- prev/next same-hash occurrence via one packed-key sort ---
     key = jnp.where(valid,
-                    (ranks.astype(jnp.int64) << shift)
-                    | pos.astype(jnp.int64), KEY_PAD)
-    skey, sstrand = jax.lax.sort((key, strand.astype(jnp.int32)),
-                                 dimension=-1, num_keys=1)
+                    (ranks.astype(jnp.int64) << (shift + 1))
+                    | (pos.astype(jnp.int64) << 1)
+                    | (strand > 0).astype(jnp.int64), KEY_PAD)
+    skey = jax.lax.sort(key, dimension=-1)
     svalid = skey != KEY_PAD
-    sp = jnp.where(svalid, (skey & (Np - 1)).astype(jnp.int32), 0)
-    sh = jnp.where(svalid, (skey >> shift).astype(jnp.int32), I32MAX)
+    sstrand = jnp.where(svalid,
+                        (skey & 1).astype(jnp.int32) * 2 - 1, 0)
+    sp = jnp.where(svalid,
+                   ((skey >> 1) & (Np - 1)).astype(jnp.int32), 0)
+    sh = jnp.where(svalid, (skey >> (shift + 1)).astype(jnp.int32),
+                   I32MAX)
     same_prev = jnp.concatenate(
         [jnp.zeros(1, bool), (sh[1:] == sh[:-1]) & svalid[1:]])
     same_next = jnp.concatenate(
@@ -220,3 +240,133 @@ def unpack_events(buf: np.ndarray, iv_cap: int, mem_cap: int):
     return (iv[0], iv[1].astype(np.int64), iv[2].astype(np.int64),
             (mem[1] >> 1).astype(np.int64), mem[0],
             ((mem[1] & 1) * 2 - 1).astype(np.int64))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s_b", "beg_cap", "mem_cap"))
+def events_chunk(ranks, strand, theta, a0, base, n_local, n_k, n_w,
+                 s_b: int, beg_cap: int, mem_cap: int):
+    """Membership events for ONE position-chunk of a contig.
+
+    The streaming form of ``events_step`` for chromosome-scale contigs:
+    the kernel sees only positions [a0, a0+CHP) — the chunk core
+    [a0+base, a0+base+n_local) plus an s_b halo on each side — so
+    device memory is O(chunk) regardless of contig length. Every rule
+    is exactly local given the halo:
+
+      * prev/next same-hash occurrence tests only discriminate within
+        +-s_b, so a local sort gives the same begin/end/lost decisions;
+      * member occurrences use the EXACT characterization "rank <=
+        sliding max of theta over the position's own windows" (a
+        trailing-window block cummax) instead of events_step's global
+        "every occurrence of a begun hash" superset — occurrences
+        outside every member window contribute net-zero enter/leave
+        votes to strand_classify, so downstream results are identical
+        (and the fetch shrinks);
+      * begins/ends are emitted UNPAIRED (hash, W); the host pairs the
+        sparse events globally (builder._pair_begin_end).
+
+    Returns one packed int32 buffer:
+      [beg_h(beg_cap), beg_W(beg_cap), end_h(beg_cap), end_W(beg_cap),
+       mem_rankstrand(mem_cap),        # rank<<1 | strand>0
+       mem_pos(mem_cap),
+       n_beg, n_end, n_mem, overflow]
+    """
+    CHP = ranks.shape[0]
+    shift = int(CHP - 1).bit_length()
+    assert 2 * shift + 1 <= 62
+    t = jnp.arange(CHP, dtype=jnp.int32)
+    pos = a0 + t
+    valid = (ranks != RSENT) & (pos < n_k)
+
+    # --- prev/next same-hash occurrence via one LOCAL packed-key sort
+    key = jnp.where(valid,
+                    (ranks.astype(jnp.int64) << (shift + 1))
+                    | (t.astype(jnp.int64) << 1)
+                    | (strand > 0).astype(jnp.int64), KEY_PAD)
+    skey = jax.lax.sort(key, dimension=-1)
+    svalid = skey != KEY_PAD
+    sp_t = jnp.where(svalid,
+                     ((skey >> 1) & (CHP - 1)).astype(jnp.int32), 0)
+    sh = jnp.where(svalid, (skey >> (shift + 1)).astype(jnp.int32),
+                   I32MAX)
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), (sh[1:] == sh[:-1]) & svalid[1:]])
+    same_next = jnp.concatenate(
+        [(sh[1:] == sh[:-1]) & svalid[:-1], jnp.zeros(1, bool)])
+    prev_t = jnp.where(same_prev,
+                       jnp.concatenate([sp_t[:1] * 0, sp_t[:-1]]), -1)
+    next_t = jnp.where(same_next,
+                       jnp.concatenate([sp_t[1:], sp_t[:1] * 0]),
+                       I32MAX)
+    tgt = jnp.where(svalid, sp_t, CHP)
+    prev_t = jnp.full(CHP + 1, -1, jnp.int32).at[tgt].set(prev_t)[:CHP]
+    next_t = jnp.full(CHP + 1, I32MAX, jnp.int32).at[tgt].set(
+        next_t)[:CHP]
+    # global coordinates; "none in the array" stays -1 / I32MAX, which
+    # answers every +-s_b-window test identically to the true global
+    # occurrence (it lies beyond the halo by construction)
+    prev_occ = jnp.where(prev_t >= 0, a0 + prev_t, -1)
+    next_occ = jnp.where(next_t != I32MAX, a0 + next_t, I32MAX)
+
+    # --- membership-change masks (identical shifts to events_step) ---
+    th0 = theta[0]
+    thetapad1 = jnp.concatenate(
+        [jnp.full(s_b - 1, 0, jnp.int32) + th0, theta])[:CHP]
+    th_prevw = jnp.concatenate(
+        [jnp.zeros(s_b, jnp.int32), theta])[:CHP]
+    begW = jnp.maximum(pos - (s_b - 1), 0)
+    stayed = (begW >= 1) & (prev_occ == begW - 1) & (ranks <= th_prevw)
+    begin1 = valid & (prev_occ < begW) & (ranks <= thetapad1) & ~stayed
+    lost = valid & (pos + 1 < n_w) & (next_occ > pos + s_b)
+    end1 = lost & (ranks <= theta)
+
+    W = pos
+    th_W = theta
+    th_Wm1 = jnp.concatenate([theta[:1], theta[:-1]])
+    wmask = (W >= 1) & (W < n_w)
+    rose = wmask & (th_W > th_Wm1)
+    h_in_W = jnp.concatenate(
+        [ranks[s_b - 1:], jnp.full(s_b - 1, RSENT, jnp.int32)])
+    begin1_at = jnp.concatenate(
+        [begin1[s_b - 1:], jnp.zeros(s_b - 1, bool)])
+    begin2 = rose & (th_W != RSENT) & ~(begin1_at & (h_in_W == th_W))
+    fell = wmask & (th_W < th_Wm1)
+    h_out_W = jnp.concatenate(
+        [jnp.full(1, RSENT, jnp.int32), ranks[:-1]])
+    lost_at = jnp.concatenate([jnp.zeros(1, bool), lost[:-1]])
+    end2 = fell & (th_Wm1 != RSENT) & ~(lost_at & (h_out_W == th_Wm1))
+
+    # --- member occurrences: rank <= trailing sliding-max of theta ---
+    # (block cummax decomposition; -1 where the window doesn't exist,
+    #  RSENT where it holds < s distinct hashes => everything member)
+    th_m = jnp.where((pos >= 0) & (pos < n_w), theta, jnp.int32(-1))
+    m_len = -(-CHP // s_b) * s_b
+    th_p = jnp.concatenate(
+        [th_m, jnp.full(m_len - CHP, -1, jnp.int32)])
+    blocks = th_p.reshape(-1, s_b)
+    pre = jax.lax.cummax(blocks, axis=1).reshape(-1)[:CHP]
+    suf = jax.lax.cummax(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    suf_shift = jnp.concatenate(
+        [jnp.full(s_b - 1, -1, jnp.int32), suf])[:CHP]
+    smax = jnp.where(t >= s_b - 1, jnp.maximum(suf_shift, pre), pre)
+    member = valid & (ranks <= smax)
+
+    # --- compact (core positions / windows only) ---
+    core = (t >= base) & (t < base + n_local)
+    bmask = jnp.concatenate([begin1 & core, begin2 & core])
+    bh_all = jnp.concatenate([ranks, th_W])
+    bW_all = jnp.concatenate([begW, W])
+    n_beg, (bh, bW) = _compact(bmask, (bh_all, bW_all), beg_cap)
+    emask = jnp.concatenate([end1 & core, end2 & core])
+    eh_all = jnp.concatenate([ranks, th_Wm1])
+    eW_all = jnp.concatenate([pos + 1, W])
+    n_end, (eh, eW) = _compact(emask, (eh_all, eW_all), beg_cap)
+    mrk = (ranks << 1) | (strand > 0).astype(jnp.int32)
+    n_mem, (m_rk, m_pos) = _compact(member & core, (mrk, pos), mem_cap)
+
+    overflow = ((n_beg > beg_cap) | (n_end > beg_cap)
+                | (n_mem > mem_cap)).astype(jnp.int32)
+    return jnp.concatenate([
+        bh, bW, eh, eW, m_rk, m_pos,
+        jnp.stack([n_beg, n_end, n_mem, overflow]).astype(jnp.int32)])

@@ -186,7 +186,10 @@ def _default_chunk_bytes() -> int:
             return 256 << 20
     except Exception:
         pass
-    return 12 << 30  # TPU (16G HBM): bigger chunks => fewer serial scans
+    # TPU (16G HBM): bigger chunks => fewer serial scans, but the group
+    # LUT + rank/strand views (+ the events kernel next) stay resident
+    # during the scan at human-genome group sizes — leave them ~7GB
+    return 9 << 30
 
 
 @functools.partial(jax.jit, static_argnames=())
