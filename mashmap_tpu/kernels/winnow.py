@@ -150,27 +150,25 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
         return state, jnp.stack(outs)
 
     _, suf = jax.lax.scan(suf_step, init, cur_f, reverse=True)
-    suf = suf.reshape(s_b_p, C, s)
 
-    # prefix sketches of `nxt`: pre[j] = bottom-s of nxt[:, :j]
-    # (state BEFORE inserting offset j)
+    # forward pass: the prefix sketch of `nxt` stays a scan CARRY and
+    # merges against suf[j] in place — theta[j] = s-th distinct
+    # smallest of suf[j] U pre[j]. Only ONE (S_B, C, s) stack ever
+    # materializes (the prefix stack + flip copies OOMed human-
+    # chromosome groups), and each step's U (C, s, s) rank-count merges
+    # are wide enough to keep the VPU busy.
     nxt_u = nxt.T.reshape(s_b_p // U, U, C)
 
-    def pre_step(state, vs):
-        outs = []
+    def pre_step(state, xs):
+        vs, suf_u = xs
+        outs = [None] * U
         for u in range(U):
-            outs.append(state)
+            outs[u] = _merge_theta(suf_u[u], state, s)
             state = _insert_bottom_s(state, vs[u])
         return state, jnp.stack(outs)
 
-    _, pre = jax.lax.scan(pre_step, init, nxt_u)
-    pre = pre.reshape(s_b_p, C, s)
-
-    # batched merge: theta[j] = s-th distinct smallest of suf[j] U pre[j]
-    theta = jax.lax.map(
-        lambda ab: _merge_theta(ab[0], ab[1], s),
-        (suf, pre), batch_size=_MERGE_BLOCK)
-    return theta[:s_b].T  # (C, S_B)
+    _, theta = jax.lax.scan(pre_step, init, (nxt_u, suf))
+    return theta.reshape(s_b_p, C)[:s_b].T  # (C, S_B)
 
 
 def _default_chunk_bytes() -> int:
@@ -234,7 +232,7 @@ def _theta_chunk_rows(s: int, s_b: int) -> int:
         cpu = True
     rows = THETA_CHUNK_ROWS_CPU if cpu else THETA_CHUNK_ROWS_TPU
     budget = _default_chunk_bytes()
-    per_row = s_b * max(s, 1) * 4 * 3   # suffix + prefix + flip copy
+    per_row = s_b * max(s, 1) * 4 * 2   # one suffix stack + transients
     while rows > 8 and rows * per_row > budget:
         rows //= 2
     return rows
