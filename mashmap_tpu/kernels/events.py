@@ -274,6 +274,8 @@ def events_chunk(ranks, strand, theta, a0, base, n_local, n_k, n_w,
     """
     CHP = ranks.shape[0]
     shift = int(CHP - 1).bit_length()
+    pos_mask = (1 << shift) - 1   # CHP is NOT a power of two here —
+    # masking with CHP-1 would corrupt extracted positions
     assert 2 * shift + 1 <= 62
     t = jnp.arange(CHP, dtype=jnp.int32)
     pos = a0 + t
@@ -287,7 +289,7 @@ def events_chunk(ranks, strand, theta, a0, base, n_local, n_k, n_w,
     skey = jax.lax.sort(key, dimension=-1)
     svalid = skey != KEY_PAD
     sp_t = jnp.where(svalid,
-                     ((skey >> 1) & (CHP - 1)).astype(jnp.int32), 0)
+                     ((skey >> 1) & pos_mask).astype(jnp.int32), 0)
     sh = jnp.where(svalid, (skey >> (shift + 1)).astype(jnp.int32),
                    I32MAX)
     same_prev = jnp.concatenate(

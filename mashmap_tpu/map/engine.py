@@ -652,7 +652,10 @@ class Mapper:
         # so device memory and compile shapes are bounded (3 shapes
         # total; the kernel's event axis is 2T, hence the halving)
         AREA = p.l2_batch * p.l2_entries_cap // 2
-        T_BUCKETS = (512, 2048, 8192)
+        from ..parallel.sharded_index import L2_T_MAX
+        # ceiling tied to the sharded-index slab halo: a slice must fit
+        # wholly inside its owner's slab
+        T_BUCKETS = (512, 2048, L2_T_MAX)
         t_max = T_BUCKETS[-1]
         buckets: dict[int, list] = {t: [] for t in T_BUCKETS}
         host_l2_set = set()

@@ -162,13 +162,15 @@ def test_chunked_events_matches_whole(monkeypatch):
     from mashmap_tpu.index import builder as B
 
     contigs = pangenome(3, 90_000, 0.05, seed=17)
+    # an in-contig tandem repeat straddling chunk boundaries: duplicate
+    # hashes exercise the prev/next-occurrence machinery (a position-
+    # extraction mask bug here once survived the random-only fixture)
+    from genomes import random_genome
+    unit = random_genome(1_332, seed=18)
+    contigs.append(("rep", random_genome(20_000, seed=19) + unit * 40
+                    + random_genome(20_000, seed=20)))
     a = build_index(contigs, 19, 5000, 40, threads=1)
 
-    import re
-    src_chmax = 1 << 24
-    # CH_MAX is a literal inside _build_group; patch via events dispatch:
-    # easiest is to rebuild with a tiny chunk by monkeypatching the
-    # constant lookup — expose it as a module attribute
     assert hasattr(B, "_EVENTS_CH_MAX")
     monkeypatch.setattr(B, "_EVENTS_CH_MAX", 30_000)
     b = build_index(contigs, 19, 5000, 40, threads=1)
