@@ -848,22 +848,26 @@ def _build_group(
                 continue
             n_w = n - span + 1
             if n <= CH_MAX:
-                Np = _pad_len(n)
+                # single chunk covering the contig (pow2 pad => shared
+                # XLA shapes); the chunked kernel beats events_step
+                # ~1.5x even here (no in-kernel pairing / member
+                # searchsorted machinery)
+                CHP = _pad_len(n)
+                beg_cap, mem_cap = events_mod.events_caps(
+                    CHP, sketch_size, span)
                 rv = rank_views[i]
                 sv = st_views[i]
-                if Np > n:
+                if CHP > n:
                     rv = jnp.concatenate(
-                        [rv, jnp.full(Np - n, winnow.RSENT, jnp.int32)])
+                        [rv, jnp.full(CHP - n, winnow.RSENT, jnp.int32)])
                     sv = jnp.concatenate(
-                        [sv, jnp.zeros(Np - n, jnp.int8)])
+                        [sv, jnp.zeros(CHP - n, jnp.int8)])
                 th = jnp.concatenate(
-                    [th, jnp.full(Np - n_w, winnow.RSENT, jnp.int32)])
-                iv_cap, mem_cap = events_mod.events_caps(
-                    Np, sketch_size, span)
-                bufs.append(events_mod.events_step(
-                    rv, sv, th, np.int32(n), np.int32(n_w), span,
-                    iv_cap, mem_cap))
-                meta_ev.append(("whole", i, seq_id, n, n_w, iv_cap,
+                    [th, jnp.full(CHP - n_w, winnow.RSENT, jnp.int32)])
+                bufs.append(events_mod.events_chunk(
+                    rv, sv, th, np.int32(0), np.int32(0), np.int32(n),
+                    np.int32(n), np.int32(n_w), span, beg_cap, mem_cap))
+                meta_ev.append(("chunk", i, seq_id, n, n_w, beg_cap,
                                 mem_cap))
             else:
                 CHP = CH_MAX + 2 * span
@@ -908,9 +912,8 @@ def _build_group(
         # (pow2-rounded => few XLA shapes) and phase B fetches only
         # real data in one transfer.
         if bufs:
-            tails = jax.device_get(jnp.concatenate(
-                [b[-4:] if m[0] == "chunk" else b[-3:]
-                 for m, b in zip(meta_ev, bufs)]))
+            tails = jax.device_get(
+                jnp.concatenate([b[-4:] for b in bufs]))
         else:
             tails = np.empty(0, np.int32)
         _mark("events+counts")
@@ -920,23 +923,14 @@ def _build_group(
 
         per_contig, thetas = [], []   # (host path only)
         sized, pieces = [], []
-        toff = 0
         for bi, m in enumerate(meta_ev):
             kind, i, seq_id, n, n_w, cap1, mem_cap = m
             b = bufs[bi]
-            if kind == "whole":
-                n_iv, n_mem, ovf = (int(tails[toff]),
-                                    int(tails[toff + 1]),
-                                    bool(tails[toff + 2]))
-                toff += 3
-                ovf = ovf or n_iv > cap1 or n_mem > mem_cap
-            else:
-                n_bg, n_en, n_mem, ovf = (int(tails[toff]),
-                                          int(tails[toff + 1]),
-                                          int(tails[toff + 2]),
-                                          bool(tails[toff + 3]))
-                toff += 4
-                ovf = ovf or max(n_bg, n_en) > cap1 or n_mem > mem_cap
+            n_bg, n_en, n_mem, ovf = (int(tails[4 * bi]),
+                                      int(tails[4 * bi + 1]),
+                                      int(tails[4 * bi + 2]),
+                                      bool(tails[4 * bi + 3]))
+            ovf = ovf or max(n_bg, n_en) > cap1 or n_mem > mem_cap
             if ovf:   # cap overflow (heavily repetitive group): redo
                 logger.info(    # the whole group on the host path
                     "contig %d overflowed the event caps; "
@@ -945,25 +939,15 @@ def _build_group(
                 return _build_group(group, kmer_size, window_size,
                                     sketch_size, threads, dev_limit,
                                     force_host=True)
-            if kind == "whole":
-                e_iv, e_mem = _ceil2(n_iv), _ceil2(n_mem)
-                pieces += [b[0:e_iv], b[cap1:cap1 + e_iv],
-                           b[2 * cap1:2 * cap1 + e_iv],
-                           b[3 * cap1:3 * cap1 + e_mem],
-                           b[3 * cap1 + mem_cap:
-                             3 * cap1 + mem_cap + e_mem]]
-                sized.append(("whole", i, seq_id, n, n_w, e_iv, e_mem,
-                              n_iv, 0, n_mem))
-            else:
-                e_b, e_m = _ceil2(max(n_bg, n_en)), _ceil2(n_mem)
-                pieces += [b[0:e_b], b[cap1:cap1 + e_b],
-                           b[2 * cap1:2 * cap1 + e_b],
-                           b[3 * cap1:3 * cap1 + e_b],
-                           b[4 * cap1:4 * cap1 + e_m],
-                           b[4 * cap1 + mem_cap:
-                             4 * cap1 + mem_cap + e_m]]
-                sized.append(("chunk", i, seq_id, n, n_w, e_b, e_m,
-                              n_bg, n_en, n_mem))
+            e_b, e_m = _ceil2(max(n_bg, n_en)), _ceil2(n_mem)
+            pieces += [b[0:e_b], b[cap1:cap1 + e_b],
+                       b[2 * cap1:2 * cap1 + e_b],
+                       b[3 * cap1:3 * cap1 + e_b],
+                       b[4 * cap1:4 * cap1 + e_m],
+                       b[4 * cap1 + mem_cap:
+                         4 * cap1 + mem_cap + e_m]]
+            sized.append((i, seq_id, n, n_w, e_b, e_m,
+                          n_bg, n_en, n_mem))
         all_buf = (jax.device_get(jnp.concatenate(pieces))
                    if pieces else np.empty(0, np.int32))
         _mark("events+fetch")
@@ -972,31 +956,19 @@ def _build_group(
         chunk_acc = {}                # i -> [bh, bW, eh, eW, mrk, mpos]
         chunk_info = {}
         off = 0
-        for (kind, i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
-            if kind == "whole":
-                iv = all_buf[off:off + 3 * e1].reshape(3, e1)[:, :na]
-                mem = all_buf[off + 3 * e1:
-                              off + 3 * e1 + 2 * e2].reshape(
-                    2, e2)[:, :nm]
-                off += 3 * e1 + 2 * e2
-                got = (iv[0], iv[1].astype(np.int64),
-                       iv[2].astype(np.int64),
-                       (mem[1] >> 1).astype(np.int64), mem[0],
-                       ((mem[1] & 1) * 2 - 1).astype(np.int64))
-                ev_results.append((seq_id, n, n_w, got))
-            else:
-                seg = all_buf[off:off + 4 * e1].reshape(4, e1)
-                mm = all_buf[off + 4 * e1:
-                             off + 4 * e1 + 2 * e2].reshape(2, e2)
-                off += 4 * e1 + 2 * e2
-                acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
-                acc[0].append(seg[0, :na])
-                acc[1].append(seg[1, :na])
-                acc[2].append(seg[2, :nb])
-                acc[3].append(seg[3, :nb])
-                acc[4].append(mm[0, :nm])
-                acc[5].append(mm[1, :nm])
-                chunk_info[i] = (seq_id, n, n_w)
+        for (i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
+            seg = all_buf[off:off + 4 * e1].reshape(4, e1)
+            mm = all_buf[off + 4 * e1:
+                         off + 4 * e1 + 2 * e2].reshape(2, e2)
+            off += 4 * e1 + 2 * e2
+            acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
+            acc[0].append(seg[0, :na])
+            acc[1].append(seg[1, :na])
+            acc[2].append(seg[2, :nb])
+            acc[3].append(seg[3, :nb])
+            acc[4].append(mm[0, :nm])
+            acc[5].append(mm[1, :nm])
+            chunk_info[i] = (seq_id, n, n_w)
         for i, acc in chunk_acc.items():
             seq_id, n, n_w = chunk_info[i]
             bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)

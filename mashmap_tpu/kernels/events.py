@@ -80,6 +80,11 @@ def events_step(ranks, strand, theta, n_k, n_w, s_b: int,
                 iv_cap: int, mem_cap: int):
     """Membership intervals + member occurrences for ONE contig.
 
+    NOTE: the production build path uses ``events_chunk`` for every
+    contig (it is ~1.5x faster and memory-bounded); this whole-contig
+    kernel is kept as a second independent implementation for
+    cross-validation in tests/test_events.py and tests/test_index.py.
+
     Args:
       ranks: (Np,) int32 dense hash ranks, RSENT at invalid/padded
         positions. Np must be a power of two >= n_k.
