@@ -294,9 +294,12 @@ def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
         0, c_first.astype(jnp.int64) - seg_length - 1)
     mid_k = seq64 | jnp.maximum(0, c_first).astype(jnp.int64)
     hi_k = seq64 | (c_last.astype(jnp.int64) + 1)
-    c_lo = jnp.searchsorted(mi_key, lo_k).astype(jnp.int32)
-    c_mid = jnp.searchsorted(mi_key, mid_k).astype(jnp.int32)
-    c_hi = jnp.searchsorted(mi_key, hi_k).astype(jnp.int32)
+    c_lo = jnp.searchsorted(mi_key, lo_k, method="sort").astype(
+        jnp.int32)
+    c_mid = jnp.searchsorted(mi_key, mid_k, method="sort").astype(
+        jnp.int32)
+    c_hi = jnp.searchsorted(mi_key, hi_k, method="sort").astype(
+        jnp.int32)
     return c_lo, c_mid, c_hi
 
 

@@ -65,10 +65,18 @@ def sketch_fragments(frags: jax.Array, k: int, s: int):
     newh = newh & (skey != UMAX)
     rank = jnp.cumsum(newh.astype(jnp.int32), axis=-1) - 1  # distinct rank
 
-    # index of the r-th distinct hash: rank is nondecreasing, so a
-    # (B, s)-sized binary search replaces a full-width scatter
-    r_idx = jax.vmap(
-        lambda rr: jnp.searchsorted(rr, jnp.arange(s), side="left"))(rank)
+    # index of the r-th distinct hash: first newh position with that
+    # rank, via a row scatter-min (the previous per-row binary search
+    # compiled to wide gather rounds — the slow op class on this stack)
+    Lk = rank.shape[1]
+    j_row = jnp.arange(Lk, dtype=jnp.int32)
+    tgt = jnp.where(newh & (rank < s), rank, s)
+
+    def _row_min(tgt_r):
+        return jnp.full((s + 1,), Lk - 1, jnp.int32).at[tgt_r].min(
+            j_row)[:s]
+
+    r_idx = jax.vmap(_row_min)(tgt)
     r_idx_c = jnp.minimum(r_idx, L - k)
     out_h = jnp.take_along_axis(skey, r_idx_c, axis=-1)
     n_distinct = rank[:, -1] + 1

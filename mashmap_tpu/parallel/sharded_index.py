@@ -283,7 +283,8 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         keys3 = jnp.concatenate([lo_k, mid_k, hi_k], axis=1)  # (Bl, 3C)
         keys3 = jax.lax.all_gather(keys3, "data", axis=0, tiled=True)
         slab = mi_key_s[0]
-        pos = (jnp.searchsorted(slab, keys3).astype(jnp.int32)
+        pos = (jnp.searchsorted(slab, keys3,
+                                method="sort").astype(jnp.int32)
                + mi_row0[0, 0])
         kb_lo = jax.lax.dynamic_slice_in_dim(
             key_bounds, jax.lax.axis_index("data"), 1)[0]
