@@ -425,28 +425,34 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
     ev_strand = jnp.where(ev_live, ((pay >> 2) & 3) - 1, 0)
     sign = jnp.where(ev_live, (pay & 1) * 2 - 1, 0)         # +1/-1
 
-    # ---- signed one-hot cumsums over the event axis (bucket-dense)
+    # ---- signed one-hot cumsums over the event axis (bucket-dense).
+    # int16: the (W, 2T, s) count cubes are this kernel's dominant HBM
+    # traffic and every count is bounded by T <= 8192 (one interval
+    # entry contributes one signed unit per bucket)
     lane = jnp.arange(s, dtype=jnp.int32)[None, None, :]    # (1, 1, s)
     oh = (ev_b[:, :, None] == lane)                         # (W, 2T, s)
-    sgn = sign[:, :, None]
+    sgn16 = sign.astype(jnp.int16)[:, :, None]
     cnt_m = jnp.cumsum(
-        jnp.where(oh & ev_match[:, :, None], sgn, 0).astype(jnp.int32),
-        axis=1)
+        jnp.where(oh & ev_match[:, :, None], sgn16, jnp.int16(0)),
+        axis=1, dtype=jnp.int16)
     cnt_n = jnp.cumsum(
-        jnp.where(oh & ev_non[:, :, None], sgn, 0).astype(jnp.int32),
-        axis=1)
+        jnp.where(oh & ev_non[:, :, None], sgn16, jnp.int16(0)),
+        axis=1, dtype=jnp.int16)
     cnt_v = jnp.cumsum(
         jnp.where(oh & ev_match[:, :, None],
-                  sgn * ev_strand[:, :, None], 0).astype(jnp.int32),
-        axis=1)
+                  sgn16 * ev_strand.astype(jnp.int16)[:, :, None],
+                  jnp.int16(0)),
+        axis=1, dtype=jnp.int16)
 
-    # pivot rule over the bucket axis
-    rank = (jnp.arange(1, s + 1, dtype=jnp.int32)[None, None, :]
-            + jnp.cumsum(cnt_n, axis=-1))
-    Pmask = rank <= s_q[:, None, None]
-    shared = jnp.sum(cnt_m * Pmask, axis=-1)                # (W, 2T)
-    votes = jnp.sum(cnt_v * Pmask
-                    * q_strand[:, None, :s].astype(jnp.int32), axis=-1)
+    # pivot rule over the bucket axis (rank fits int16: s + T <= 16384)
+    rank = (jnp.arange(1, s + 1, dtype=jnp.int16)[None, None, :]
+            + jnp.cumsum(cnt_n, axis=-1, dtype=jnp.int16))
+    Pmask = rank <= s_q[:, None, None].astype(jnp.int16)
+    shared = jnp.sum(jnp.where(Pmask, cnt_m, jnp.int16(0)), axis=-1,
+                     dtype=jnp.int32)                       # (W, 2T)
+    votes = jnp.sum(jnp.where(Pmask, cnt_v, jnp.int16(0))
+                    * q_strand[:, None, :s].astype(jnp.int16), axis=-1,
+                    dtype=jnp.int32)
 
     # ---- optimal-plateau runs over snapshot (main-insert) events
     # (plateau_loci run phase; non-snapshot events are transparent)
