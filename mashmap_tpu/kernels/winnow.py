@@ -159,11 +159,25 @@ def _theta_chunk(cur: jax.Array, nxt: jax.Array, s: int, s_b: int):
     # are wide enough to keep the VPU busy.
     nxt_u = nxt.T.reshape(s_b_p // U, U, C)
 
+    def _merge_theta_sort(a, b):
+        # s-th distinct smallest of two sorted RSENT-padded (C, s) sets
+        # via one minor-axis sort of their concatenation: ~2x fewer ops
+        # than the two-sided rank-count cube and maps onto the TPU's
+        # sort networks
+        m = jax.lax.sort(jnp.concatenate([a, b], axis=-1),
+                         dimension=-1)                     # (C, 2s)
+        prev = jnp.concatenate(
+            [jnp.full_like(m[:, :1], -1), m[:, :-1]], axis=-1)
+        newv = (m != prev) & (m != RSENT)
+        cnt = jnp.cumsum(newv.astype(jnp.int32), axis=-1)
+        hit = newv & (cnt == s)
+        return jnp.min(jnp.where(hit, m, RSENT), axis=-1)
+
     def pre_step(state, xs):
         vs, suf_u = xs
         outs = [None] * U
         for u in range(U):
-            outs[u] = _merge_theta(suf_u[u], state, s)
+            outs[u] = _merge_theta_sort(suf_u[u], state)
             state = _insert_bottom_s(state, vs[u])
         return state, jnp.stack(outs)
 
