@@ -550,6 +550,14 @@ def build_index(
 
     dev_limit = int(os.environ.get(
         "MASHMAP_TPU_DEVICE_RANK_LIMIT", 256 * 1024 * 1024))
+    if not 0 < dev_limit <= 1 << 30:
+        # the events kernels pack group-local ranks as (rank << 1) in
+        # int32 and rank << (shift+1) in an int64 sort key; ranks must
+        # stay below 2^30 or the packing silently overflows
+        raise ValueError(
+            f"MASHMAP_TPU_DEVICE_RANK_LIMIT={dev_limit} out of range "
+            f"(must be in (0, 2^30]: event kernels pack group-local "
+            f"ranks into shifted int32 lanes)")
 
     def consume(results):
         for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
@@ -969,6 +977,10 @@ def _build_group(
             acc[4].append(mm[0, :nm])
             acc[5].append(mm[1, :nm])
             chunk_info[i] = (seq_id, n, n_w)
+        # cheap integrity check: a silently-clamped slice upstream would
+        # desynchronize the offset walk (see events_caps pow2 rounding)
+        assert off == len(all_buf), \
+            f"events fetch misaligned: consumed {off} of {len(all_buf)}"
         for i, acc in chunk_acc.items():
             seq_id, n, n_w = chunk_info[i]
             bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)

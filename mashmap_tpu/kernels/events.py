@@ -58,6 +58,12 @@ def events_caps(Np: int, s: int, s_b: int):
     shift = max(0, min(6, int(math.floor(
         math.log2(max(1.0, s_b / (5.0 * s)))))))
     cap = max(1 << 12, Np >> shift)
+    # round up to a power of two: the builder's sized-fetch path slices
+    # pow2-rounded live prefixes out of each cap-padded segment, and a
+    # non-pow2 cap (padded streaming chunks: Np = CH_MAX + 2*span) would
+    # let the rounded prefix exceed the cap and clamp silently,
+    # corrupting the host's offset accounting for every later contig
+    cap = 1 << (cap - 1).bit_length()
     return cap, cap
 
 

@@ -35,12 +35,26 @@ from .results import MappingResult
 logger = logging.getLogger("mashmap_tpu.map")
 
 
+def _start_host_copy(arr) -> None:
+    """Begin an async device->host transfer for a buffer we will
+    device_get later. On the tunneled TPU backend a fetch pays ~300ms
+    of latency; starting the copy at dispatch time lets it overlap
+    with the host prep + device compute of the NEXT batch, so the
+    eventual device_get mostly just picks up finished bytes."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:        # multi-device layouts / older jax: harmless
+        pass
+
+
 @dataclasses.dataclass
 class _Fragment:
     query_idx: int          # position in the batch's query list
     q_start: int            # fragment offset within the query
     q_len: int              # fragment length (== Q.len)
     window_len: int         # max(0, q_len - seg_length)
+    q: object = None        # owning _Query (pipelined path)
+    ord: int = 0            # ordinal within the query (pipelined path)
 
 
 @dataclasses.dataclass
@@ -48,6 +62,38 @@ class _Query:
     name: str
     seq: str
     counter: int            # global sequence counter (file order)
+    # pipelined-path state: fragments of one query may land in different
+    # device batches (mandatory for chromosome-scale queries whose
+    # fragment count exceeds any single batch), so per-query results
+    # accumulate here until every fragment has been delivered.
+    u8: object = None       # sanitized bytes (np.uint8)
+    allowed: object = None  # admissible-reference mask (or None)
+    qg: int = -1            # reference prefix group
+    n_frags: int = 0
+    done: int = 0
+    counted: int = 0        # bp already credited to the progress meter
+    rows: object = None     # per-ordinal List[List[MappingResult]]
+
+
+@dataclasses.dataclass
+class _Batch:
+    """One in-flight device batch of fragments (pipelined path)."""
+    frags: list
+    mat: object = None          # (B, L) uint8 host matrix
+    out: object = None          # l1_step packed meta (device)
+    qh_dev: object = None       # (B, s) sketches (device-resident)
+    qs_dev: object = None
+    stage: int = 0              # 0 = l1 dispatched, 1 = l2 dispatched
+    o: object = None            # unpacked l1 meta (host)
+    cx: object = None
+    host_frags: object = None   # set of batch-frag indices
+    host_l2_set: object = None  # set of (i, j)
+    pending: object = None      # [(chunk, nrows)]
+    pcat: object = None         # concatenated l2 run buffer (device)
+    qh_pick: object = None      # pre-gathered host-replay sketch rows
+    need0: object = None        # frag indices covered by qh_pick
+    loci_by: object = None
+    qh_host: object = None
 
 
 class Mapper:
@@ -375,49 +421,54 @@ class Mapper:
 
     def _assemble(self, queries, frags, rows_by_frag):
         """Per-query post-processing (mapModule, computeMap.hpp:674-712)."""
-        p = self.p
         results: List[Tuple[_Query, List[MappingResult]]] = []
         fi = 0
         for qi, q in enumerate(queries):
-            qlen = len(q.seq)
-            unfiltered: List[MappingResult] = []
-            split_mapping = p.split and qlen > p.seg_length
+            frag_rows = []
             while fi < len(frags) and frags[fi].query_idx == qi:
-                fr = frags[fi]
-                rows = rows_by_frag[fi]
-                if split_mapping:
-                    for m in rows:
-                        m.query_len = qlen
-                        m.query_start = fr.q_start
-                        m.query_end = fr.q_start + fr.q_len
-                unfiltered.extend(rows)
+                frag_rows.append((frags[fi], rows_by_frag[fi]))
                 fi += 1
-
-            n_mappings = (p.num_mappings_for_short_sequence
-                          if qlen < p.seg_length
-                          else p.num_mappings_for_segment) - 1
-
-            if split_mapping and p.merge_mappings:
-                unfiltered = merge.merge_mappings_in_range(
-                    unfiltered, p.chain_gap)
-                unfiltered = filters.filter_weak_mappings(
-                    unfiltered, p.block_length // p.seg_length)
-
-            if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
-                unfiltered = self._filter_by_group(
-                    unfiltered, n_mappings, filter_ref=False)
-
-            if p.filter_length_mismatches:
-                unfiltered = filters.filter_false_high_identity(
-                    unfiltered, p.percentage_identity)
-
-            filters.mapping_boundary_sanity_check(
-                unfiltered, qlen, self.idx.lengths)
-            unfiltered = filters.sparsify_mappings(
-                unfiltered, p.sparsity_hash_threshold)
-
-            results.append((q, unfiltered))
+            results.append((q, self._postprocess_query(q, frag_rows)))
         return results
+
+    def _postprocess_query(self, q: _Query, frag_rows) -> \
+            List[MappingResult]:
+        """Merge / filter one query's fragment rows (computeMap.hpp:
+        674-712). `frag_rows` is [(fragment, rows)] in fragment order."""
+        p = self.p
+        qlen = len(q.seq)
+        unfiltered: List[MappingResult] = []
+        split_mapping = p.split and qlen > p.seg_length
+        for fr, rows in frag_rows:
+            if split_mapping:
+                for m in rows:
+                    m.query_len = qlen
+                    m.query_start = fr.q_start
+                    m.query_end = fr.q_start + fr.q_len
+            unfiltered.extend(rows)
+
+        n_mappings = (p.num_mappings_for_short_sequence
+                      if qlen < p.seg_length
+                      else p.num_mappings_for_segment) - 1
+
+        if split_mapping and p.merge_mappings:
+            unfiltered = merge.merge_mappings_in_range(
+                unfiltered, p.chain_gap)
+            unfiltered = filters.filter_weak_mappings(
+                unfiltered, p.block_length // p.seg_length)
+
+        if p.filter_mode in (FILTER_MAP, FILTER_ONETOONE):
+            unfiltered = self._filter_by_group(
+                unfiltered, n_mappings, filter_ref=False)
+
+        if p.filter_length_mismatches:
+            unfiltered = filters.filter_false_high_identity(
+                unfiltered, p.percentage_identity)
+
+        filters.mapping_boundary_sanity_check(
+            unfiltered, qlen, self.idx.lengths)
+        return filters.sparsify_mappings(
+            unfiltered, p.sparsity_hash_threshold)
 
     # --- device fragment pipeline ------------------------------------
     def _device_tables(self):
@@ -526,15 +577,50 @@ class Mapper:
             return jax.device_put(np.asarray(x), self._shard_data)
         return jnp.asarray(x)
 
+    def _l1cfg(self):
+        from ..kernels.mapdev import L1Config
+        p = self.p
+        if getattr(self, "_cfg", None) is not None:
+            return self._cfg
+        # n_groups rounds up to a power of two: it is a static kernel
+        # parameter, and per-genome values would force recompiles
+        if p.skip_prefix:
+            ng = 1 << max(3, int(self.ref_groups.max() + 1).bit_length())
+        else:
+            ng = 8
+        self._cfg = L1Config(
+            k=p.kmer_size, s=p.sketch_size, seg_length=p.seg_length,
+            p_cap=p.l1_postings_cap, c_cap=p.l1_candidates_cap,
+            t_cap=p.l2_entries_cap, table_scale=self.table_scale,
+            n_groups=ng)
+        return self._cfg
+
     def _run_fragments_device(self, queries, frags):
         """Batched device pipeline: l1_step + l2_step kernels.
 
         Fragments whose postings/candidates/L2 slices exceed the static
-        caps fall back to the bit-identical host path.
+        caps fall back to the bit-identical host path. This synchronous
+        wrapper drives the staged batch methods that `run`'s pipelined
+        path overlaps across batches.
         """
+        for q in queries:
+            if q.u8 is None:
+                q.u8 = kmers.sanitize(q.seq.encode("ascii"))
+                q.allowed = self._allowed_mask(q)
+                q.qg = (self._get_ref_group(q.name)
+                        if self.p.skip_prefix else -1)
+        for fr in frags:
+            fr.q = queries[fr.query_idx]
+        ctx = self._dispatch_batch(frags)
+        self._collect_l1(ctx)
+        self._collect_l2(ctx)
+        return [rows for _, rows in self._post_batch(ctx)]
+
+    def _dispatch_batch(self, frags) -> "_Batch":
+        """Stage 1: host matrix prep + l1_step dispatch (async)."""
+        import jax
         import jax.numpy as jnp
-        from ..kernels.mapdev import L1Config, l1_step, l2_step
-        from ..kernels.sketch import sketch_sequence_py
+        from ..kernels.mapdev import l1_step
 
         p = self.p
         _t = [time.perf_counter()]
@@ -545,36 +631,20 @@ class Mapper:
             _t[0] = now
 
         dev = self._device_tables()
-        # n_groups rounds up to a power of two: it is a static kernel
-        # parameter, and per-genome values would force recompiles
-        if p.skip_prefix:
-            ng = 1 << max(3, int(self.ref_groups.max() + 1).bit_length())
-        else:
-            ng = 8
-        cfg = L1Config(
-            k=p.kmer_size, s=p.sketch_size, seg_length=p.seg_length,
-            p_cap=p.l1_postings_cap, c_cap=p.l1_candidates_cap,
-            t_cap=p.l2_entries_cap, table_scale=self.table_scale,
-            n_groups=ng)
+        cfg = self._l1cfg()
         B = len(frags)
         L = p.seg_length
-        sanitized = [kmers.sanitize(q.seq.encode("ascii"))
-                     for q in queries]
         mat = np.full((B, L), ord("N"), np.uint8)
         for i, fr in enumerate(frags):
-            s_u8 = sanitized[fr.query_idx]
-            mat[i, :fr.q_len] = s_u8[fr.q_start:fr.q_start + fr.q_len]
-        q_allowed = [self._allowed_mask(q) for q in queries]
+            mat[i, :fr.q_len] = fr.q.u8[fr.q_start:fr.q_start + fr.q_len]
         NC = self._n_contigs_padded
         allowed = np.zeros((B, NC), bool)
         for i, fr in enumerate(frags):
-            qa = q_allowed[fr.query_idx]
+            qa = fr.q.allowed
             if qa is None:
                 allowed[i, :self.idx.n_contigs] = True
             else:
                 allowed[i, :self.idx.n_contigs] = qa
-        qg = [self._get_ref_group(q.name) if p.skip_prefix else -1
-              for q in queries]
 
         # pad batch to a fixed floor, then to a {2^k, 1.5*2^k} size grid:
         # few distinct l1_step XLA shapes (compiles are multi-second and
@@ -596,7 +666,6 @@ class Mapper:
                 [allowed, np.zeros((Bp - B, allowed.shape[1]), bool)])
 
         import jax
-        from ..kernels.mapdev import unpack_l1_meta
         if self._sharded_idx is not None:
             from ..parallel.sharded_index import l1_step_sharded
             si = self._sharded_idx
@@ -618,11 +687,41 @@ class Mapper:
                 dev["cutoff_table"],
                 self._put_batch(allowedp), dev["ref_group"],
                 dev["mi_key"], cfg)
+        _start_host_copy(out)
         _mark("l1-dispatch")
+        return _Batch(frags=frags, mat=mat, out=out,
+                      qh_dev=qh_dev, qs_dev=qs_dev)
+
+    def _collect_l1(self, ctx: "_Batch"):
+        """Stage 2: fetch l1 meta, derive L2 work, dispatch l2 chunks.
+
+        The fetch overlaps with whatever is queued behind this batch's
+        l1_step on the device (later batches' l1, earlier l2 chunks).
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..kernels.mapdev import unpack_l1_meta, l2_step
+
+        p = self.p
+        dev = self._dev
+        cfg = self._l1cfg()
+        frags = ctx.frags
+        B = len(frags)
+        L = p.seg_length
+        qh_dev, qs_dev = ctx.qh_dev, ctx.qs_dev
+        _t = [time.perf_counter()]
+
+        def _mark(label):
+            now = time.perf_counter()
+            logger.debug("map phase %-13s %.2fs", label, now - _t[0])
+            _t[0] = now
+
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
-        o = unpack_l1_meta(jax.device_get(out)[:B], cfg.c_cap)
+        o = unpack_l1_meta(jax.device_get(ctx.out)[:B], cfg.c_cap)
+        ctx.out = None
+        ctx.o = o
         _mark("l1-fetch")
 
         # complexity rescale for 'N'-padded fragments
@@ -630,6 +729,7 @@ class Mapper:
             float(o["complexity"][i]) * (L - p.kmer_size + 1)
             / max(1, frags[i].q_len - p.kmer_size + 1)
             for i in range(B)])
+        ctx.cx = cx
 
         # L2 work items from device candidates (slice bounds were
         # computed inside l1_step — no host searchsorted per candidate)
@@ -647,6 +747,7 @@ class Mapper:
                 work.append((i, j, int(o["cand_lo"][i, j]),
                              int(o["cand_mid"][i, j]),
                              int(o["cand_hi"][i, j])))
+        ctx.host_frags = host_frags
 
         # bucket work items by interval-slice length; W*T stays constant
         # so device memory and compile shapes are bounded (3 shapes
@@ -670,8 +771,6 @@ class Mapper:
             else:
                 host_l2_set.add((w[0], w[1]))
                 self.path_stats["host_l2"] += 1
-        loci_by = {}
-        from ..kernels.mapdev import unpack_l2_runs
         # dispatch ALL chunks first (async); every chunk's packed run
         # buffer has the same width, so they concatenate device-side
         # into ONE fetch (~300ms latency each on tunneled backends)
@@ -767,16 +866,46 @@ class Mapper:
                               dev["mi_wend"], dev["mi_strand"],
                               dev["mi_seqid"], T, p.sketch_size)
                 pending.append((chunk, buf))
-        _mark("l2-dispatch")
+        # concatenate all run buffers device-side into ONE transfer and
+        # start the copy now — by the time _collect_l2 runs (after the
+        # next batch's l1 was dispatched) the bytes are usually here
         if pending:
-            import jax.numpy as _jnp
-            all_runs = jax.device_get(
-                _jnp.concatenate([b for _, b in pending], axis=0)
-                if len(pending) > 1 else pending[0][1])
-            _mark("l2-fetch")
+            ctx.pcat = (jnp.concatenate([b for _, b in pending], axis=0)
+                        if len(pending) > 1 else pending[0][1])
+            _start_host_copy(ctx.pcat)
+        ctx.pending = [(chunk, int(b.shape[0])) for chunk, b in pending]
+        # host-replay sketch rows: dispatch the tiny gather now too
+        need = sorted({i for (i, _j) in host_l2_set})
+        if need:
+            idxs = jnp.asarray(np.asarray(need, np.int32))
+            ctx.qh_pick = (jnp.take(qh_dev, idxs, axis=0),
+                           jnp.take(qs_dev, idxs, axis=0))
+            _start_host_copy(ctx.qh_pick[0])
+            _start_host_copy(ctx.qh_pick[1])
+        ctx.need0 = need
+        _mark("l2-dispatch")
+        ctx.host_l2_set = host_l2_set
+        ctx.stage = 1
+
+    def _collect_l2(self, ctx: "_Batch"):
+        """Stage 3: one fetch of all l2 run buffers + host-replay rows."""
+        import jax
+        import jax.numpy as jnp
+        from ..kernels.mapdev import unpack_l2_runs
+
+        p = self.p
+        o = ctx.o
+        pending = ctx.pending
+        host_l2_set = ctx.host_l2_set
+        loci_by = {}
+        _t = [time.perf_counter()]
+        if pending:
+            all_runs = jax.device_get(ctx.pcat)
+            ctx.pcat = None
+            logger.debug("map phase %-13s %.2fs", "l2-fetch",
+                         time.perf_counter() - _t[0])
         row0 = 0
-        for chunk, buf in pending:
-            nrows = buf.shape[0]
+        for chunk, nrows in pending:
             n_runs, best, r_ovf, starts, ends, strands = \
                 unpack_l2_runs(all_runs[row0:row0 + nrows])
             row0 += nrows
@@ -791,32 +920,58 @@ class Mapper:
                     n_runs[r], best[r], starts[r], ends[r],
                     strands[r], int(o["cand_seq"][i, j]),
                     p.seg_length)
+        ctx.pending = None
+        ctx.loci_by = loci_by
 
-        # per-fragment row assembly with exact pruning semantics.
         # Sketch rows are fetched ONLY for fragments whose L2 replays on
-        # the host (one tiny gather+fetch; usually none).
-        need = sorted({i for (i, _j) in host_l2_set})
+        # the host (one tiny gather+fetch; usually none). Rows known at
+        # dispatch time were pre-gathered (+async-copied) in _collect_l1;
+        # fragments whose L2 overflowed only at collect time need a
+        # second tiny fetch here.
         qh_host = {}
-        if need:
-            idxs = jnp.asarray(np.asarray(need, np.int32))
-            qh_rows, qs_rows = jax.device_get(
-                (jnp.take(qh_dev, idxs, axis=0),
-                 jnp.take(qs_dev, idxs, axis=0)))
+        if ctx.need0:
+            qh_rows, qs_rows = jax.device_get(ctx.qh_pick)
             qh_host = {i: (qh_rows[t], qs_rows[t])
-                       for t, i in enumerate(need)}
-        rows_by_frag = []
+                       for t, i in enumerate(ctx.need0)}
+            ctx.qh_pick = None
+        late = sorted({i for (i, _j) in host_l2_set} - set(ctx.need0))
+        if late:
+            idxs = jnp.asarray(np.asarray(late, np.int32))
+            qh_rows, qs_rows = jax.device_get(
+                (jnp.take(ctx.qh_dev, idxs, axis=0),
+                 jnp.take(ctx.qs_dev, idxs, axis=0)))
+            qh_host.update({i: (qh_rows[t], qs_rows[t])
+                            for t, i in enumerate(late)})
+        ctx.qh_host = qh_host
+        ctx.qh_dev = ctx.qs_dev = None
+
+    def _post_batch(self, ctx: "_Batch"):
+        """Stage 4: per-fragment row assembly with exact pruning
+        semantics. Returns [(fragment, rows)] in batch order."""
+        from ..kernels.sketch import sketch_sequence_py
+
+        p = self.p
+        o = ctx.o
+        cx = ctx.cx
+        frags = ctx.frags
+        mat = ctx.mat
+        host_frags = ctx.host_frags
+        host_l2_set = ctx.host_l2_set
+        loci_by = ctx.loci_by
+        qh_host = ctx.qh_host
+        _t = [time.perf_counter()]
+        out = []
         for i, fr in enumerate(frags):
-            q = queries[fr.query_idx]
+            q = fr.q
             if i in host_frags:
                 oh, ostr, ocnt, ocx = sketch_sequence_py(
                     mat[i, :fr.q_len], p.kmer_size, p.sketch_size)
-                rows_by_frag.append(self._map_fragment(
-                    q, fr, oh, ostr, ocnt, ocx,
-                    q_allowed[fr.query_idx], qg[fr.query_idx]))
+                out.append((fr, self._map_fragment(
+                    q, fr, oh, ostr, ocnt, ocx, q.allowed, q.qg)))
                 continue
             s_q = int(o["s_q"][i])
             if s_q == 0 or cx[i] < p.kmer_complexity_threshold:
-                rows_by_frag.append([])
+                out.append((fr, []))
                 continue
             if i in qh_host:
                 hashes = qh_host[i][0][:s_q]
@@ -852,9 +1007,10 @@ class Mapper:
                 rows = self._do_l2(q, fr, hashes, strands, s_q, cx[i],
                                    cands, loci_fn)
             rows.sort(key=lambda m: (m.ref_seq_id, m.ref_start))
-            rows_by_frag.append(rows)
-        _mark("host-post")
-        return rows_by_frag
+            out.append((fr, rows))
+        logger.debug("map phase %-13s %.2fs", "host-post",
+                     time.perf_counter() - _t[0])
+        return out
 
     def _filter_by_group(self, rows: List[MappingResult], n_mappings: int,
                          filter_ref: bool) -> List[MappingResult]:
@@ -885,6 +1041,96 @@ class Mapper:
         return out
 
     # ------------------------------------------------------------------
+    def _run_pipelined(self, queries, out: IO[str], meter) -> None:
+        """Streaming, depth-2 pipelined device mapping.
+
+        The synchronous path serializes four ~300ms tunnel fetch
+        latencies per batch (l1 meta, l2 runs) with device compute and
+        host work. Here fragments stream into fixed-size batches and at
+        most two batches are in flight: while batch N's l1 meta travels
+        to the host, batch N+1's host prep + l1 dispatch and batch
+        N-1's l2 collect proceed, so device compute, transfers, and
+        host post-processing overlap. The reference overlaps I/O and
+        compute with a thread pool (computeMap.hpp:607-637); this is
+        the single-host-thread equivalent driven by async dispatch.
+
+        Fragments of one query may land in different batches (mandatory
+        for chromosome-scale queries); per-query rows accumulate on the
+        _Query and each query finalizes — merge/filter/emit, in input
+        order — once its last fragment is delivered.
+        """
+        import collections
+        p = self.p
+        BF = p.batch_fragments
+        inflight: collections.deque = collections.deque()
+        finalq: collections.deque = collections.deque()
+        cur: list = []
+
+        def credit(q, fr):
+            if meter is None:
+                return
+            inc = min(fr.q_len, len(q.seq) - q.counted)
+            if inc > 0:
+                meter.increment(inc)
+                q.counted += inc
+
+        def finalize_ready():
+            while finalq and finalq[0].done == finalq[0].n_frags:
+                q = finalq.popleft()
+                rows = self._postprocess_query(q, q.rows)
+                self._emit(q, rows, out)
+                q.rows = q.u8 = q.allowed = None
+
+        def complete(ctx):
+            for fr, rows in self._post_batch(ctx):
+                q = fr.q
+                q.rows[fr.ord] = (fr, rows)
+                q.done += 1
+                credit(q, fr)
+            finalize_ready()
+
+        def submit():
+            nonlocal cur
+            if not cur:
+                return
+            inflight.append(self._dispatch_batch(cur))
+            cur = []
+            # steady state holds [N-1 (l2 in flight), N (l1 in flight)]:
+            # every blocking fetch below has the next batch's device
+            # work already queued behind it
+            if len(inflight) >= 2 and inflight[-2].stage == 0:
+                self._collect_l1(inflight[-2])
+            while len(inflight) >= 3:
+                b = inflight[0]
+                if b.stage == 0:
+                    self._collect_l1(b)
+                self._collect_l2(b)
+                complete(inflight.popleft())
+
+        for q in queries:
+            q.u8 = kmers.sanitize(q.seq.encode("ascii"))
+            q.allowed = self._allowed_mask(q)
+            q.qg = (self._get_ref_group(q.name)
+                    if p.skip_prefix else -1)
+            fl = self._fragment_query(len(q.seq))
+            q.n_frags = len(fl)
+            q.rows = [None] * len(fl)
+            finalq.append(q)
+            for o_, (qs, qlen) in enumerate(fl):
+                cur.append(_Fragment(
+                    0, qs, qlen, max(0, qlen - p.seg_length),
+                    q=q, ord=o_))
+                if len(cur) == BF:
+                    submit()
+        submit()
+        while inflight:
+            b = inflight.popleft()
+            if b.stage == 0:
+                self._collect_l1(b)
+            self._collect_l2(b)
+            complete(b)
+        assert not finalq, "pipelined path left unfinished queries"
+
     def run(self, query_files: Sequence[str], out: IO[str],
             progress: Optional[bool] = None) -> None:
         """Full mapQuery equivalent: stream files, map, write output."""
@@ -902,53 +1148,67 @@ class Mapper:
         meter = None
         if progress:
             # reference sizes its meter from the .fai / a pre-scan
-            # (computeMap.hpp:279-304)
-            _, total_bp = total_seq_stats(query_files)
+            # (computeMap.hpp:279-304). For non-tty stderr (piped /
+            # captured) skip the pre-scan unless .fai files make sizing
+            # free; the meter then runs unsized.
+            import os as _os
+            if (sys.stderr.isatty()
+                    or all(_os.path.exists(f + ".fai")
+                           for f in query_files)):
+                _, total_bp = total_seq_stats(query_files)
+            else:
+                total_bp = 0
             meter = ProgressMeter(
                 total_bp, "[mashmap-tpu::map] mapped")
 
-        pending: List[_Query] = []
-        pending_frags = 0
+        def owned_queries():
+            """Stream owned queries in file order, maintaining the
+            global counters / one-to-one metadata / meter credit for
+            skipped and foreign-process queries."""
+            for fname in query_files:
+                for name, seq in for_each_seq_in_file(fname):
+                    qlen = len(seq)
+                    if p.filter_mode == FILTER_ONETOONE:
+                        self.qmetadata.append((name, qlen))
+                    if qlen >= p.kmer_size:
+                        self.total_reads_picked += 1
+                        if self._dist is not None and not \
+                                self._dist.owns_query(
+                                    self.total_seq_counter):
+                            # another process maps this query; count its
+                            # bp so the meter tracks global progress
+                            if meter is not None:
+                                meter.increment(qlen)
+                        else:
+                            yield _Query(name, seq,
+                                         self.total_seq_counter)
+                    else:
+                        logger.warning(
+                            "read %s of %dbp is not long enough for "
+                            "mapping", name, qlen)
+                    self.total_seq_counter += 1
+                    self.total_bp += qlen
 
-        def flush():
-            nonlocal pending, pending_frags
-            if not pending:
-                return
-            for q, rows in self.map_queries(pending):
-                self._emit(q, rows, out)
-                if meter is not None:
-                    meter.increment(len(q.seq))
-            pending = []
+        if p.use_device_pipeline and p.split:
+            self._run_pipelined(owned_queries(), out, meter)
+        else:
+            pending: List[_Query] = []
             pending_frags = 0
-
-        for fname in query_files:
-            for name, seq in for_each_seq_in_file(fname):
-                qlen = len(seq)
-                if p.filter_mode == FILTER_ONETOONE:
-                    self.qmetadata.append((name, qlen))
-                if qlen >= p.kmer_size:
-                    self.total_reads_picked += 1
-                    if self._dist is not None and not \
-                            self._dist.owns_query(self.total_seq_counter):
-                        # another process maps this query; count its bp
-                        # so the meter still tracks global progress
+            for q in owned_queries():
+                pending.append(q)
+                pending_frags += max(1, len(q.seq) // p.seg_length)
+                if pending_frags >= p.batch_fragments:
+                    for qq, rows in self.map_queries(pending):
+                        self._emit(qq, rows, out)
                         if meter is not None:
-                            meter.increment(qlen)
-                        self.total_seq_counter += 1
-                        self.total_bp += qlen
-                        continue
-                    pending.append(_Query(name, seq,
-                                          self.total_seq_counter))
-                    pending_frags += max(1, qlen // p.seg_length)
-                    if pending_frags >= p.batch_fragments:
-                        flush()
-                else:
-                    logger.warning(
-                        "read %s of %dbp is not long enough for mapping",
-                        name, qlen)
-                self.total_seq_counter += 1
-                self.total_bp += qlen
-        flush()
+                            meter.increment(len(qq.seq))
+                    pending = []
+                    pending_frags = 0
+            if pending:
+                for qq, rows in self.map_queries(pending):
+                    self._emit(qq, rows, out)
+                    if meter is not None:
+                        meter.increment(len(qq.seq))
         if meter is not None:
             meter.finish()
 

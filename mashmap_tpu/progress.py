@@ -24,6 +24,10 @@ def _fmt_dhms(seconds: float) -> str:
 class ProgressMeter:
     def __init__(self, total: int, banner: str,
                  stream=None, interval: float = 0.5):
+        # total <= 0 => unsized meter: paints count + rate only (used
+        # when stderr is not a tty and no .fai exists, so sizing would
+        # cost a full pass over the query files)
+        self.sized = int(total) > 0
         self.total = max(int(total), 1)
         self.banner = banner
         self.stream = stream if stream is not None else sys.stderr
@@ -43,13 +47,18 @@ class ProgressMeter:
         elapsed = time.time() - self._t0
         with self._lock:
             count = self._count
-        frac = min(count / self.total, 1.0)
         rate = count / max(elapsed, 1e-9)
-        remain = (self.total - count) / rate if rate > 0 else 0.0
-        self.stream.write(
-            f"\r{self.banner} {100.0 * frac:2.2f}% @ {rate:.2e} bp/s "
-            f"elapsed: {_fmt_dhms(elapsed)} "
-            f"remain: {_fmt_dhms(remain)}")
+        if self.sized:
+            frac = min(count / self.total, 1.0)
+            remain = (self.total - count) / rate if rate > 0 else 0.0
+            self.stream.write(
+                f"\r{self.banner} {100.0 * frac:2.2f}% @ {rate:.2e} "
+                f"bp/s elapsed: {_fmt_dhms(elapsed)} "
+                f"remain: {_fmt_dhms(remain)}")
+        else:
+            self.stream.write(
+                f"\r{self.banner} {count} bp @ {rate:.2e} bp/s "
+                f"elapsed: {_fmt_dhms(elapsed)}")
         self.stream.flush()
 
     def _loop(self) -> None:
@@ -59,8 +68,9 @@ class ProgressMeter:
     def finish(self) -> None:
         self._done.set()
         self._thread.join()
-        with self._lock:
-            self._count = self.total
+        if self.sized:
+            with self._lock:
+                self._count = self.total
         self._paint()
         self.stream.write("\n")
         self.stream.flush()

@@ -64,6 +64,35 @@ def test_progress_meter():
     assert "bp/s" in out
 
 
+def test_progress_meter_unsized():
+    # total<=0 => unsized meter (non-tty, no .fai): counts, no percent
+    buf = io.StringIO()
+    m = ProgressMeter(0, "[x] mapped", stream=buf, interval=0.01)
+    m.increment(1234)
+    import time
+    time.sleep(0.05)
+    m.finish()
+    out = buf.getvalue()
+    assert "%" not in out
+    assert "1234 bp" in out
+
+
+def test_progress_meter_rises_during_run():
+    # the meter must move with increments, not only at finish
+    # (reference increments per sequence: computeMap.hpp:638,
+    # progress.hpp:25-55)
+    buf = io.StringIO()
+    m = ProgressMeter(1000, "[x] mapped", stream=buf, interval=0.01)
+    import time
+    m.increment(250)
+    time.sleep(0.05)
+    mid = buf.getvalue()
+    m.increment(750)
+    m.finish()
+    assert "25.00%" in mid
+    assert "100.00%" in buf.getvalue()
+
+
 def test_check_coverage_script(tmp_path):
     fai = tmp_path / "r.fai"
     fai.write_text("s1\t1000\t0\t0\t0\n")
