@@ -24,6 +24,15 @@ process p maps queries whose input ordinal i satisfies ``i % P == p``
 and writes ``out.paf.part<p>``; after the barrier, process 0 merges the
 parts into ``out.paf`` byte-identically to a single-process run.
 
+Combining with ``--shardIndex`` is supported and is the intended
+deployment when the index exceeds one chip's HBM: each process shards
+the index across its OWN local mesh (hash-range postings + contig-range
+L2 slabs over ICI) while the query stream stays sharded across
+processes over DCN. Nothing changes in the launch recipe — just add
+``--shardIndex``; tests/test_distributed.py asserts the 2-process x
+4-local-device combination is byte-identical to a single replicated
+process.
+
 The index build is deterministic, so processes building it concurrently
 get identical tables; for large references prefer building once with
 ``--saveIndex`` and launching with ``--loadIndex`` (only process 0

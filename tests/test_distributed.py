@@ -55,11 +55,16 @@ def _run_cli(args, env_extra, timeout=600):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode_args", [
-    [],                        # default map filter
-    ["-f", "one-to-one"],      # global reference-axis pass on process 0
+@pytest.mark.parametrize("mode_args,shard", [
+    ([], False),                      # default map filter
+    (["-f", "one-to-one"], False),    # global ref-axis pass on process 0
+    ([], True),                       # multi-host x --shardIndex: each
+                                      # process shards the index over its
+                                      # own 4-device local mesh (the
+                                      # north-star deployment: DCN across
+                                      # processes, ICI sharding within)
 ])
-def test_two_process_run_matches_single(tmp_path, mode_args):
+def test_two_process_run_matches_single(tmp_path, mode_args, shard):
     ref_fa, q_fa = _write_genomes(tmp_path)
     base = ["-r", ref_fa, "-q", q_fa, "--pi", "90", "-s", "10000",
             "-k", "17"] + mode_args
@@ -71,13 +76,17 @@ def test_two_process_run_matches_single(tmp_path, mode_args):
 
     multi = str(tmp_path / "multi.paf")
     port = _free_port()
+    shard_env = (
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+        if shard else {})
+    shard_args = ["--shardIndex"] if shard else []
     procs = []
     for pid in range(2):
         procs.append(_run_cli(
-            base + ["-o", multi],
+            base + shard_args + ["-o", multi],
             {"MASHMAP_TPU_COORDINATOR": f"127.0.0.1:{port}",
              "MASHMAP_TPU_NUM_PROCS": "2",
-             "MASHMAP_TPU_PROC_ID": str(pid)}))
+             "MASHMAP_TPU_PROC_ID": str(pid), **shard_env}))
     for pr in procs:
         out, err = pr.communicate(timeout=600)
         assert pr.returncode == 0, err
