@@ -68,6 +68,80 @@ def _pad_len(n: int, lo: int = 1 << 15) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _grid_len(n: int, lo: int = 1 << 15) -> int:
+    """Round up to the {1, 1.25, 1.5, 1.75}*2^k shape grid (>= lo).
+
+    Finer than plain pow2 (<= 14% padding instead of <= 100%) while
+    keeping the distinct per-contig XLA shapes to four per octave. Used
+    for per-contig device views so a NEW genome's contig lengths never
+    mint raw-length XLA programs (each a multi-second compile on
+    tunneled backends, and never reusable across genomes).
+    """
+    n = max(n, lo)
+    p = 1 << (n - 1).bit_length()
+    for m in (5 * (p // 8), 6 * (p // 8), 7 * (p // 8)):
+        if n <= m:
+            return m
+    return p
+
+
+@functools.lru_cache(maxsize=None)
+def _view_fn(L: int, out: int, dtype_name: str, rolled: bool):
+    """jit'd clamped-slice view: out[p] = arr[start+p] for p < n_valid,
+    fill elsewhere. start/shift/n_valid/fill are DYNAMIC args, so one
+    compile per (L, out, dtype) serves every contig/offset. The roll
+    (needed only when the slice start had to be clamped) is a separate
+    variant so the common path pays no O(out) gather."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def f(arr, start_c, shift, n_valid, fill):
+        if out > L:          # static: view larger than the buffer
+            arr = lax.pad(arr, jnp.zeros((), arr.dtype),
+                          [(0, out - L, 0)])
+        sl = lax.dynamic_slice(arr, (start_c,), (out,))
+        if rolled:
+            sl = jnp.roll(sl, -shift)
+        return jnp.where(jnp.arange(out, dtype=jnp.int32) < n_valid,
+                         sl, fill)
+
+    return jax.jit(f)
+
+
+def _gview(arr, start: int, n_out: int, n_valid: int, fill):
+    """Grid-shaped device view of arr[start:start+n_out] with positions
+    >= n_valid replaced by fill; safe when start+n_out overruns the
+    buffer (clamps the slice start and rolls the data back)."""
+    L = int(arr.shape[0])
+    start_c = min(int(start), max(0, L - n_out))
+    shift = int(start) - start_c
+    fn = _view_fn(L, n_out, str(arr.dtype), shift != 0)
+    return fn(arr, np.int32(start_c), np.int32(shift),
+              np.int32(min(n_valid, 1 << 30)), arr.dtype.type(fill))
+
+
+@functools.lru_cache(maxsize=None)
+def _padto_fn(L: int, out: int, dtype_name: str):
+    """jit'd pad-up: out[p] = x[p] for p < n_valid (<= L), fill
+    elsewhere; out >= L."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def f(x, n_valid, fill):
+        xp = lax.pad(x, fill, [(0, out - L, 0)])
+        return jnp.where(jnp.arange(out, dtype=jnp.int32) < n_valid,
+                         xp, fill)
+
+    return jax.jit(f)
+
+
+def _gpad(x, out: int, n_valid: int, fill):
+    fn = _padto_fn(int(x.shape[0]), out, str(x.dtype))
+    return fn(x, np.int32(n_valid), x.dtype.type(fill))
+
+
 @functools.lru_cache(maxsize=None)
 def _hash_slab_fn(k: int):
     import jax
@@ -820,22 +894,16 @@ def _build_group(
         # a multi-GB transient, and dead u64 buffers OOM the 16G HBM
         del hm, slab_h, slab_st, slab_valid
 
-        def slab_views_dev(arr, start, n):
-            pieces = []
-            got = 0
-            off = start
-            while got < n:
-                take = min(_slab_step(kmer_size), n - got)
-                slab_len = _pad_len(take + kmer_size - 1) - kmer_size + 1
-                pieces.append(arr[off:off + take])
-                off += slab_len
-                got += take
-            return pieces[0] if len(pieces) == 1 else \
-                jnp.concatenate(pieces)
-
-        rank_views = [slab_views_dev(ranks_dev, start, n)
+        # Per-contig views at GRID lengths (RSENT beyond the contig's
+        # end). Contig k-mer positions are contiguous in the slab
+        # concat (only each contig's LAST slab carries padding), so one
+        # clamped dynamic_slice per contig replaces the raw-length
+        # slice+concat chains that minted new XLA programs for every
+        # new contig length.
+        rank_views = [_gview(ranks_dev, start, _grid_len(n), n,
+                             winnow.RSENT)
                       for _, start, n in spans_c]
-        st_views = [slab_views_dev(st_dev, start, n)
+        st_views = [_gview(st_dev, start, _grid_len(n), n, 0)
                     for _, start, n in spans_c]
         del ranks_dev, st_dev    # views are independent device buffers
         thetas_dev = winnow.theta_scan_ranks_jax(
@@ -852,26 +920,23 @@ def _build_group(
         bufs, meta_ev = [], []
         for i, (seq_id, start, n) in enumerate(spans_c):
             th = thetas_dev[i]
-            if th is None:
-                continue
             n_w = n - span + 1
+            # n_w <= 0 must be checked on the TRUE length: grid-padded
+            # views can make theta non-None for a contig with no
+            # complete window (matches the pre-padding skip semantics)
+            if th is None or n_w <= 0:
+                continue
             if n <= CH_MAX:
-                # single chunk covering the contig (pow2 pad => shared
-                # XLA shapes); the chunked kernel beats events_step
-                # ~1.5x even here (no in-kernel pairing / member
-                # searchsorted machinery)
-                CHP = _pad_len(n)
+                # single chunk covering the contig; CHP == the grid
+                # view length, so rv/sv are the theta-input views as-is
+                # and the theta array only needs its junk tail (windows
+                # >= n_w over view padding) forced to RSENT
+                CHP = _grid_len(n)
                 beg_cap, mem_cap = events_mod.events_caps(
                     CHP, sketch_size, span)
                 rv = rank_views[i]
                 sv = st_views[i]
-                if CHP > n:
-                    rv = jnp.concatenate(
-                        [rv, jnp.full(CHP - n, winnow.RSENT, jnp.int32)])
-                    sv = jnp.concatenate(
-                        [sv, jnp.zeros(CHP - n, jnp.int8)])
-                th = jnp.concatenate(
-                    [th, jnp.full(CHP - n_w, winnow.RSENT, jnp.int32)])
+                th = _gpad(th, CHP, n_w, winnow.RSENT)
                 bufs.append(events_mod.events_chunk(
                     rv, sv, th, np.int32(0), np.int32(0), np.int32(n),
                     np.int32(n), np.int32(n_w), span, beg_cap, mem_cap))
@@ -881,24 +946,19 @@ def _build_group(
                 CHP = CH_MAX + 2 * span
                 beg_cap, mem_cap = events_mod.events_caps(
                     CHP, sketch_size, span)
-                rvf, svf, thf = rank_views[i], st_views[i], th
+                rvf, svf = rank_views[i], st_views[i]
                 RS = winnow.RSENT
-
-                def cut(x, fill, dtype, ln, a0):
-                    sl = x[a0:min(a0 + CHP, ln)]
-                    short = CHP - int(sl.shape[0])
-                    if short:
-                        sl = jnp.concatenate(
-                            [sl, jnp.full(short, fill, dtype)])
-                    return sl
+                # junk theta windows (>= n_w) -> RSENT once, then every
+                # chunk is one clamped grid-shaped view
+                thf = _gview(th, 0, int(th.shape[0]), n_w, RS)
 
                 for c0 in range(0, n, CH_MAX):
                     n_local = min(CH_MAX, n - c0)
                     a0 = max(0, c0 - span)
                     bufs.append(events_mod.events_chunk(
-                        cut(rvf, RS, jnp.int32, n, a0),
-                        cut(svf, np.int8(0), jnp.int8, n, a0),
-                        cut(thf, RS, jnp.int32, n_w, a0),
+                        _gview(rvf, a0, CHP, max(0, n - a0), RS),
+                        _gview(svf, a0, CHP, max(0, n - a0), 0),
+                        _gview(thf, a0, CHP, max(0, n_w - a0), RS),
                         np.int32(a0), np.int32(c0 - a0),
                         np.int32(n_local), np.int32(n), np.int32(n_w),
                         span, beg_cap, mem_cap))

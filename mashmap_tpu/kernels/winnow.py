@@ -412,17 +412,21 @@ def theta_scan_ranks_jax(
         p2 = (p2 * 3) // 4
     chunk = min(chunk, p2)
     chunk = max(row_mult, chunk - chunk % row_mult)
+    # all slicing below runs through jit'd dynamic-slice helpers with
+    # the offset as a DYNAMIC argument: baked-offset basic slices mint
+    # a fresh XLA program per (genome, chunk) — multi-second compiles
+    # on tunneled backends that never hit the persistent cache again
+    rows_fn = _theta_rows_fn(n_total, chunk, s_b)
     pieces = []
     for c0 in range(0, n_total, chunk):
-        c1 = min(c0 + chunk, n_total)
-        cc, nn = cur[c0:c1], nxt[c0:c1]
-        if c1 - c0 < chunk:
-            padr = jnp.full((chunk - (c1 - c0), s_b), RSENT, jnp.int32)
-            cc = jnp.concatenate([cc, padr])
-            nn = jnp.concatenate([nn, padr])
+        n_live = min(chunk, n_total - c0)
+        start_c = min(c0, max(0, n_total - chunk))
+        cc, nn = rows_fn(cur, nxt, np.int32(start_c),
+                         np.int32(c0 - start_c), np.int32(n_live))
         pieces.append(chunk_fn(cc, nn))
     theta_rank = (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
                   else pieces[0])
+    n_rows = int(theta_rank.shape[0])    # chunk-quantized
 
     out = []
     for sp in spans:
@@ -430,8 +434,49 @@ def theta_scan_ranks_jax(
             out.append(None)
             continue
         r0, n_blocks, n_w = sp
-        out.append(theta_rank[r0:r0 + n_blocks].reshape(-1)[:n_w])
+        out.append(_theta_out_fn(n_rows, n_blocks, s_b, n_w)(
+            theta_rank, np.int32(r0)))
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _theta_rows_fn(n_total: int, chunk: int, s_b: int):
+    """jit'd (chunk, s_b) row-window extractor with clamp+roll and
+    RSENT masking of rows past n_live; offsets are dynamic args."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def f(cur, nxt, start_c, shift, n_live):
+        mask = (jnp.arange(chunk, dtype=jnp.int32) < n_live)[:, None]
+
+        def cut(x):
+            if chunk > n_total:     # static: single short chunk
+                x = lax.pad(x, jnp.int32(RSENT),
+                            [(0, chunk - n_total, 0), (0, 0, 0)])
+            sl = lax.dynamic_slice(
+                x, (start_c, jnp.int32(0)), (chunk, s_b))
+            sl = jnp.roll(sl, -shift, axis=0)
+            return jnp.where(mask, sl, RSENT)
+
+        return cut(cur), cut(nxt)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _theta_out_fn(n_rows: int, n_blocks: int, s_b: int, n_w: int):
+    """jit'd per-contig theta extraction (dynamic row offset)."""
+    import jax
+    from jax import lax
+
+    def f(theta_rank, r0):
+        import jax.numpy as jnp
+        blk = lax.dynamic_slice(
+            theta_rank, (r0, jnp.int32(0)), (n_blocks, s_b))
+        return blk.reshape(-1)[:n_w]
+
+    return jax.jit(f)
 
 
 def theta_scan_ranks(
