@@ -645,26 +645,55 @@ def build_index(
             acc_ms.append(ms)
             acc_mseq.append(np.full(len(mh), seq_id, np.int32))
 
-    group: List[Tuple[int, str]] = []
-    group_pos = 0
-    for seq_id, (name, seq) in enumerate(contigs):
-        names.append(name)
-        lengths.append(len(seq))
-        if len(seq) < window_size:
-            # never forms a full window => not indexed
-            # (addMinmers only fills the window once currentWindowId >= 0,
-            #  commonFunc.hpp:455; shorter contigs yield no minmers)
-            continue
-        n = len(seq) - kmer_size + 1
-        if group and group_pos + n > dev_limit:
-            consume(_build_group(group, kmer_size, window_size,
-                                 sketch_size, threads, dev_limit))
-            group, group_pos = [], 0
-        group.append((seq_id, seq))
-        group_pos += n
-    if group:
-        consume(_build_group(group, kmer_size, window_size, sketch_size,
-                             threads, dev_limit))
+    # Depth-2 group pipeline: group N's host classify/resolve runs on a
+    # worker thread WHILE group N+1's device phases (hash, theta,
+    # events, fetch) proceed on the main thread — the device phases
+    # mostly wait on the tunnel, so the 1-core host is free to crunch
+    # the previous group's events (the reference overlaps the same way
+    # with its per-contig ThreadPool, winSketch.hpp:165). The device
+    # LUT is prefetched to the host before handoff, so no device memory
+    # outlives its group. Results are consumed strictly in group order.
+    from concurrent.futures import ThreadPoolExecutor
+    overlap = os.environ.get("MASHMAP_TPU_OVERLAP_BUILD", "1") != "0"
+    pending = None
+
+    def flush_pending():
+        nonlocal pending
+        if pending is not None:
+            consume(pending.result())
+            pending = None
+
+    def run_group(ex, group):
+        nonlocal pending
+        r = _build_group(group, kmer_size, window_size, sketch_size,
+                         threads, dev_limit, defer_host=overlap)
+        flush_pending()
+        if callable(r):
+            pending = ex.submit(r)
+        else:
+            consume(r)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        group: List[Tuple[int, str]] = []
+        group_pos = 0
+        for seq_id, (name, seq) in enumerate(contigs):
+            names.append(name)
+            lengths.append(len(seq))
+            if len(seq) < window_size:
+                # never forms a full window => not indexed
+                # (addMinmers only fills the window once
+                #  currentWindowId >= 0, commonFunc.hpp:455; shorter
+                #  contigs yield no minmers)
+                continue
+            n = len(seq) - kmer_size + 1
+            if group and group_pos + n > dev_limit:
+                run_group(ex, group)
+                group, group_pos = [], 0
+            group.append((seq_id, seq))
+            group_pos += n
+        if group:
+            run_group(ex, group)
+        flush_pending()
 
     if not names:
         raise ValueError("No sequences indexed!")
@@ -732,7 +761,7 @@ def build_index(
     )
 
 
-def _resolve_group_hashes(results, lut_dev, uniq_host):
+def _resolve_group_hashes(results, lut_dev, uniq_host, lut_pair=None):
     """Map one group's rank-domain outputs back to u64 hashes.
 
     Gathers the group LUT only at the DISTINCT ranks that survived into
@@ -740,6 +769,10 @@ def _resolve_group_hashes(results, lut_dev, uniq_host):
     one u64 per distinct minmer hash — far smaller than the dense rank
     arrays. Host arrays are then mapped via searchsorted (exact hits by
     construction: ranks are dense indices into the sorted LUT).
+
+    ``lut_pair`` = (sorted ranks, u64 values) prefetched to the host —
+    used by the overlapped build so the device LUT frees before the
+    next group's device phases start.
     """
     if not results:
         return results
@@ -753,7 +786,13 @@ def _resolve_group_hashes(results, lut_dev, uniq_host):
         return [(sid, (u64e, pb, pe), (u64e, mb, me, ms))
                 for sid, (ph, pb, pe), (mh, mb, me, ms) in results]
     uniq_r = np.unique(flat)
-    if lut_dev is not None:
+    if lut_pair is not None:
+        pr, pv = lut_pair
+        pos = np.searchsorted(pr, uniq_r)
+        assert np.array_equal(pr[pos], uniq_r), \
+            "surviving ranks must be a subset of the prefetched LUT"
+        vals = pv[pos]
+    elif lut_dev is not None:
         import jax
         import jax.numpy as jnp
         npad = _pad_len(len(uniq_r), lo=1 << 10)
@@ -779,6 +818,7 @@ def _build_group(
     threads: int,
     dev_limit: int,
     force_host: bool = False,
+    defer_host: bool = False,
 ):
     """Index-build pipeline for one contig group.
 
@@ -1120,18 +1160,52 @@ def _build_group(
         return seq_id, (iv_rank, iv_wb, iv_we), (mh[o], mb[o], me[o],
                                                  ms[o])
 
-    work = list(zip(per_contig, thetas))
-    if threads > 1 and (len(work) > 1 or len(ev_results) > 1):
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=threads) as ex:
-            results = list(ex.map(one_contig, work))
-            results += list(ex.map(one_contig_events, ev_results))
-    else:
-        results = [one_contig(w) for w in work]
-        results += [one_contig_events(e) for e in ev_results]
-    # contig order determines the interval table's (seqid, wpos) sort
-    results.sort(key=lambda t: t[0])
-    _mark("host-classify")
-    out = _resolve_group_hashes(results, lut_dev, uniq_host)
-    _mark("resolve-u64")
-    return out
+    def _classify_and_resolve(lut_dev_, uniq_host_, lut_pair_):
+        t0 = _time.perf_counter()
+        work = list(zip(per_contig, thetas))
+        if threads > 1 and (len(work) > 1 or len(ev_results) > 1):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                results = list(ex.map(one_contig, work))
+                results += list(ex.map(one_contig_events, ev_results))
+        else:
+            results = [one_contig(w) for w in work]
+            results += [one_contig_events(e) for e in ev_results]
+        # contig order determines the interval table's (seqid, wpos)
+        # sort
+        results.sort(key=lambda t: t[0])
+        t1 = _time.perf_counter()
+        logger.debug("group phase %-14s %.2fs", "host-classify", t1 - t0)
+        out = _resolve_group_hashes(results, lut_dev_, uniq_host_,
+                                    lut_pair_)
+        logger.debug("group phase %-14s %.2fs", "resolve-u64",
+                     _time.perf_counter() - t1)
+        return out
+
+    if defer_host and lut_dev is None and (per_contig or ev_results):
+        # host-path groups have no device dependency at all
+        return lambda: _classify_and_resolve(None, uniq_host, None)
+    if defer_host and ev_results and lut_dev is not None:
+        # Overlapped build: prefetch the u64 LUT at every DISTINCT
+        # event rank now (survivors are a subset), free the device LUT,
+        # and hand the caller a pure-host closure it can run on a
+        # worker thread while the NEXT group's device phases proceed.
+        rank_arrays = []
+        for _, _, _, (iv_rank, _, _, _, mh_occ, _) in ev_results:
+            rank_arrays.append(iv_rank)
+            rank_arrays.append(mh_occ)
+        uniq_ev = (np.unique(np.concatenate(rank_arrays))
+                   if rank_arrays else np.empty(0, np.int32))
+        if len(uniq_ev):
+            npad = _pad_len(len(uniq_ev), lo=1 << 10)
+            idxs = np.zeros(npad, np.int32)
+            idxs[:len(uniq_ev)] = uniq_ev
+            vals = np.asarray(jax.device_get(
+                jnp.take(lut_dev, jnp.asarray(idxs))))[:len(uniq_ev)]
+        else:
+            vals = np.empty(0, np.uint64)
+        lut_dev = None
+        _mark("lut-prefetch")
+        return lambda: _classify_and_resolve(None, None, (uniq_ev, vals))
+
+    return _classify_and_resolve(lut_dev, uniq_host, None)
