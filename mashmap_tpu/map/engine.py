@@ -875,9 +875,14 @@ class Mapper:
             _start_host_copy(ctx.pcat)
         ctx.pending = [(chunk, int(b.shape[0])) for chunk, b in pending]
         # host-replay sketch rows: dispatch the tiny gather now too
+        # (index vector padded to pow2 so the gather's XLA shape is
+        # reused across batches/runs)
         need = sorted({i for (i, _j) in host_l2_set})
         if need:
-            idxs = jnp.asarray(np.asarray(need, np.int32))
+            npow = 1 << max(3, (len(need) - 1).bit_length())
+            idxv = np.full(npow, need[0], np.int32)
+            idxv[:len(need)] = need
+            idxs = jnp.asarray(idxv)
             ctx.qh_pick = (jnp.take(qh_dev, idxs, axis=0),
                            jnp.take(qs_dev, idxs, axis=0))
             _start_host_copy(ctx.qh_pick[0])
@@ -936,7 +941,10 @@ class Mapper:
             ctx.qh_pick = None
         late = sorted({i for (i, _j) in host_l2_set} - set(ctx.need0))
         if late:
-            idxs = jnp.asarray(np.asarray(late, np.int32))
+            npow = 1 << max(3, (len(late) - 1).bit_length())
+            idxv = np.full(npow, late[0], np.int32)
+            idxv[:len(late)] = late
+            idxs = jnp.asarray(idxv)
             qh_rows, qs_rows = jax.device_get(
                 (jnp.take(ctx.qh_dev, idxs, axis=0),
                  jnp.take(ctx.qs_dev, idxs, axis=0)))
