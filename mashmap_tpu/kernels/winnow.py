@@ -331,8 +331,16 @@ def _pallas_theta_usable() -> bool:
                        os.path.expanduser("~/.cache")), "mashmap_tpu")
     marker = os.path.join(cache_dir, "pallas_theta_probe_v1")
     if mode == "auto" and os.path.exists(marker):
+        import time as _time
         with open(marker) as fh:
-            return fh.read().strip() == "ok"
+            cached = fh.read().strip()
+        # a cached "ok" is trusted indefinitely; a cached failure
+        # expires after a day so every round retries the real Mosaic
+        # compile once (the backend may have been fixed)
+        if cached == "ok":
+            return True
+        if _time.time() - os.path.getmtime(marker) < 86400:
+            return False
     ok = False
     try:
         from .winnow_pallas import theta_chunk_pallas, C_T
@@ -343,8 +351,8 @@ def _pallas_theta_usable() -> bool:
     except Exception as e:  # noqa: BLE001 — any failure => fallback
         import logging
         logging.getLogger("mashmap_tpu.index").info(
-            "pallas theta kernel unavailable (%s); using XLA scan",
-            type(e).__name__)
+            "pallas theta kernel unavailable (%s: %.300s); "
+            "using XLA scan", type(e).__name__, str(e))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         with open(marker, "w") as fh:
