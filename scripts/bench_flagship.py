@@ -36,7 +36,7 @@ def main():
     p = Parameters(
         ref_sequences=[REF_FA], query_sequences=[ASM_FA],
         out_file_name=OUT,
-        load_index_filename=IDX[:-4],   # loader appends .npz
+        load_index_filename=IDX,
         percentage_identity=0.95,
         batch_fragments=2048,
     )
