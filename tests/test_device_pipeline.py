@@ -48,6 +48,35 @@ def test_device_matches_host_selfmap(tmp_path):
     assert host == dev
 
 
+def test_pipelined_tiny_batches_match(tmp_path):
+    """Depth-2 pipelined streaming with batch_fragments so small that
+    one query's fragments span MANY batches must be byte-identical to
+    big-batch runs (exercises cross-batch per-query accumulation,
+    in-order finalization, and the in-flight queue drain)."""
+    base = random_genome(40_000, seed=70)
+    recs = [("chr1", base)]
+    queries = [("q_long", mutate(base, 0.04, seed=71)),      # 80 frags
+               ("q_mid", mutate(base[3000:15_000], 0.06, seed=72)),
+               ("q_short", base[700:1150])]
+    outs = {}
+    for bf in (4, 64, 4096):
+        ref = tmp_path / f"r{bf}.fa"
+        qf = tmp_path / f"q{bf}.fa"
+        write_fasta(str(ref), recs)
+        write_fasta(str(qf), queries)
+        p = Parameters(ref_sequences=[str(ref)],
+                       query_sequences=[str(qf)],
+                       out_file_name=str(tmp_path / f"o{bf}.paf"),
+                       kmer_size=11, seg_length=500, sketch_size=30,
+                       percentage_identity=0.80, batch_fragments=bf,
+                       no_progress=True)
+        map_files(p)
+        with open(p.out_file_name) as fh:
+            outs[bf] = fh.read()
+    assert outs[4].strip(), "no mappings produced"
+    assert outs[4] == outs[64] == outs[4096]
+
+
 def test_device_overflow_fallback(tmp_path):
     """Tiny caps force the host fallback; output must be unchanged."""
     base = random_genome(15_000, seed=95)
