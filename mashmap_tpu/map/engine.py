@@ -1049,6 +1049,67 @@ class Mapper:
         return out
 
     # ------------------------------------------------------------------
+    def prewarm_async(self) -> None:
+        """AOT-compile the expected l1/l2 kernel shapes on a daemon
+        thread, so cold-start compiles overlap query-file reading and
+        the first batches' host prep instead of serializing at first
+        dispatch (each kernel compile is tens of seconds on tunneled
+        backends). Results land in jax's persistent compile cache; the
+        later jitted calls trace and load instead of compiling.
+        Single-device replicated path only (sharded lowerings differ).
+        """
+        import os
+        import threading
+        if getattr(self, "_warmed", False):
+            return
+        self._warmed = True
+        if os.environ.get("MASHMAP_TPU_PREWARM", "1") == "0":
+            return
+        dev = self._device_tables()     # main thread: device puts
+        if self._mesh is not None or self._sharded_idx is not None:
+            return
+        cfg = self._l1cfg()
+        p = self.p
+
+        def warm():
+            import jax
+            import jax.numpy as jnp
+            from ..kernels.mapdev import l1_step, l2_step
+            from ..parallel.sharded_index import L2_T_MAX
+            S = jax.ShapeDtypeStruct
+            try:
+                Bp = p.batch_fragments
+                L = p.seg_length
+                NC = self._n_contigs_padded
+                a = (S((Bp, L), jnp.uint8),) + tuple(
+                    S(x.shape, x.dtype) for x in (
+                        dev["uniq_hashes"], dev["post_offsets"],
+                        dev["post_seqid"], dev["post_wpos"],
+                        dev["post_wend"], dev["is_frequent"],
+                        dev["min_hits_table"], dev["cutoff_table"])) + (
+                    S((Bp, NC), jnp.bool_),
+                    S(dev["ref_group"].shape, dev["ref_group"].dtype),
+                    S(dev["mi_key"].shape, dev["mi_key"].dtype))
+                l1_step.lower(*a, cfg=cfg).compile()
+                AREA = p.l2_batch * p.l2_entries_cap // 2
+                s = p.sketch_size
+                mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
+                    "mi_hash", "mi_wpos", "mi_wend", "mi_strand",
+                    "mi_seqid"))
+                for T in (512, 2048, L2_T_MAX):
+                    W = max(8, AREA // T)
+                    wargs = (S((W,), jnp.int32),) * 4 + (
+                        S((W, s), jnp.uint64), S((W, s), jnp.int8),
+                        S((W,), jnp.int32)) + mi
+                    l2_step.lower(*wargs, t_cap=T, s=s).compile()
+                logger.debug("kernel prewarm complete")
+            except Exception as e:      # noqa: BLE001 — best-effort
+                logger.debug("kernel prewarm skipped: %s", e)
+
+        t = threading.Thread(target=warm, daemon=True)
+        t.start()
+        self._warm_thread = t
+
     def _run_pipelined(self, queries, out: IO[str], meter) -> None:
         """Streaming, depth-2 pipelined device mapping.
 
@@ -1198,6 +1259,7 @@ class Mapper:
                     self.total_bp += qlen
 
         if p.use_device_pipeline and p.split:
+            self.prewarm_async()
             self._run_pipelined(owned_queries(), out, meter)
         else:
             pending: List[_Query] = []
