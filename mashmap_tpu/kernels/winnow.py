@@ -35,6 +35,7 @@ on the host with O(1) vectorized work per window — see index/builder.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -101,7 +102,7 @@ def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
 # (see _theta_chunk), scan steps are tiny (C, s) insert updates whose
 # cost is per-step dispatch overhead, so unrolling several offsets per
 # lax.scan step is a direct win.
-_SCAN_UNROLL = 4
+_SCAN_UNROLL = int(os.environ.get("MASHMAP_TPU_THETA_UNROLL", "4"))
 
 # offsets merged per lax.map step in the batched theta merge: bounds the
 # (MERGE_BLOCK * C, s, s) comparison-cube working set XLA tiles over.
