@@ -550,6 +550,17 @@ class Mapper:
             # bounds must never land inside the pad region)
             mi_key_pad = padded(self.mi_key, M,
                                 np.int64(0x7FFFFFFFFFFFFFFF))
+            # HBM relief valve for indexes near the chip's capacity:
+            # keep the packed int64 key array (2.1GB at human scale) on
+            # the HOST and redo the slice-bounds searchsorted there
+            # after the l1 fetch (the kernel's device bounds are then
+            # ignored). ~35k np.searchsorted lookups/batch: negligible.
+            import os as _os
+            self._mi_key_host = None
+            if _os.environ.get("MASHMAP_TPU_HOST_SLICE_BOUNDS") == "1":
+                self._mi_key_host = mi_key_pad
+                mi_key_pad = np.full(
+                    8, 0x7FFFFFFFFFFFFFFF, np.int64)
             self._dev.update({
                 "uniq_hashes": put(padded(
                     idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
@@ -722,6 +733,24 @@ class Mapper:
         o = unpack_l1_meta(jax.device_get(ctx.out)[:B], cfg.c_cap)
         ctx.out = None
         ctx.o = o
+        if getattr(self, "_mi_key_host", None) is not None:
+            # MASHMAP_TPU_HOST_SLICE_BOUNDS=1: mi_key stayed on the
+            # host; redo l2_slice_bounds (mapdev.py) with np.searchsorted
+            key = self._mi_key_host
+            seq64 = o["cand_seq"].astype(np.int64) << 32
+            lo_k = seq64 | np.maximum(
+                0, o["cand_start"].astype(np.int64) - p.seg_length - 1)
+            mid_k = seq64 | np.maximum(
+                0, o["cand_start"]).astype(np.int64)
+            hi_k = seq64 | (o["cand_end"].astype(np.int64) + 1)
+            o = dict(o)
+            o["cand_lo"] = np.searchsorted(key, lo_k.ravel()).reshape(
+                lo_k.shape).astype(np.int64)
+            o["cand_mid"] = np.searchsorted(key, mid_k.ravel()).reshape(
+                mid_k.shape).astype(np.int64)
+            o["cand_hi"] = np.searchsorted(key, hi_k.ravel()).reshape(
+                hi_k.shape).astype(np.int64)
+            ctx.o = o
         _mark("l1-fetch")
 
         # complexity rescale for 'N'-padded fragments

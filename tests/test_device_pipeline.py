@@ -77,6 +77,33 @@ def test_pipelined_tiny_batches_match(tmp_path):
     assert outs[4] == outs[64] == outs[4096]
 
 
+def test_host_slice_bounds_match(tmp_path, monkeypatch):
+    """MASHMAP_TPU_HOST_SLICE_BOUNDS=1 (mi_key kept on the host, bounds
+    via np.searchsorted) must be byte-identical to the device bounds."""
+    base = random_genome(25_000, seed=75)
+    recs = [("chr1", base), ("chr2", mutate(base[:12_000], 0.08,
+                                            seed=76))]
+    queries = [("q1", mutate(base, 0.05, seed=77))]
+    kw = dict(kmer_size=11, seg_length=500, sketch_size=30,
+              percentage_identity=0.80, no_progress=True)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MASHMAP_TPU_HOST_SLICE_BOUNDS", mode)
+        ref = tmp_path / f"r{mode}.fa"
+        qf = tmp_path / f"q{mode}.fa"
+        write_fasta(str(ref), recs)
+        write_fasta(str(qf), queries)
+        p = Parameters(ref_sequences=[str(ref)],
+                       query_sequences=[str(qf)],
+                       out_file_name=str(tmp_path / f"o{mode}.paf"),
+                       **kw)
+        map_files(p)
+        with open(p.out_file_name) as fh:
+            outs[mode] = fh.read()
+    assert outs["0"].strip()
+    assert outs["0"] == outs["1"]
+
+
 def test_device_overflow_fallback(tmp_path):
     """Tiny caps force the host fallback; output must be unchanged."""
     base = random_genome(15_000, seed=95)
