@@ -541,9 +541,14 @@ class Mapper:
             # mode NO O(index)-sized array is replicated — postings live
             # as hash-range shards and the interval table as
             # contig-range slabs (parallel/sharded_index.py)
-            U = pow2(len(idx.uniq_hashes))
-            Pn = pow2(len(idx.post_seqid))
-            M = pow2(len(idx.mi_hash))
+            # index arrays pad to the finer {1,1.25,1.5,1.75}*2^k grid:
+            # still a handful of kernel shapes per octave (so new
+            # genomes reuse cached compiles) at <=14% HBM waste instead
+            # of pow2's <=100% — at human scale that difference is GBs
+            from ..index.builder import _grid_len
+            U = _grid_len(len(idx.uniq_hashes), lo=1024)
+            Pn = _grid_len(len(idx.post_seqid), lo=1024)
+            M = _grid_len(len(idx.mi_hash), lo=1024)
             po = padded(idx.post_offsets.astype(np.int32), U + 1,
                         np.int32(len(idx.post_seqid)))
             # mi_key pads must sort AFTER every real key (searchsorted
@@ -1100,6 +1105,8 @@ class Mapper:
         cfg = self._l1cfg()
         p = self.p
 
+        stop = threading.Event()
+
         def warm():
             import jax
             import jax.numpy as jnp
@@ -1119,6 +1126,8 @@ class Mapper:
                     S((Bp, NC), jnp.bool_),
                     S(dev["ref_group"].shape, dev["ref_group"].dtype),
                     S(dev["mi_key"].shape, dev["mi_key"].dtype))
+                if stop.is_set():
+                    return
                 l1_step.lower(*a, cfg=cfg).compile()
                 AREA = p.l2_batch * p.l2_entries_cap // 2
                 s = p.sketch_size
@@ -1126,6 +1135,8 @@ class Mapper:
                     "mi_hash", "mi_wpos", "mi_wend", "mi_strand",
                     "mi_seqid"))
                 for T in (512, 2048, L2_T_MAX):
+                    if stop.is_set():
+                        return
                     W = max(8, AREA // T)
                     wargs = (S((W,), jnp.int32),) * 4 + (
                         S((W, s), jnp.uint64), S((W, s), jnp.int8),
@@ -1135,9 +1146,21 @@ class Mapper:
             except Exception as e:      # noqa: BLE001 — best-effort
                 logger.debug("kernel prewarm skipped: %s", e)
 
-        t = threading.Thread(target=warm, daemon=True)
+        # NOT a daemon thread: the interpreter killing a thread inside
+        # an XLA compile aborts the process (SIGABRT at teardown).
+        # finish_prewarm (run's epilogue) asks it to stop after the
+        # in-flight compile and joins.
+        t = threading.Thread(target=warm, daemon=False)
         t.start()
         self._warm_thread = t
+        self._warm_stop = stop
+
+    def finish_prewarm(self) -> None:
+        t = getattr(self, "_warm_thread", None)
+        if t is not None:
+            self._warm_stop.set()
+            t.join()
+            self._warm_thread = None
 
     def _run_pipelined(self, queries, out: IO[str], meter) -> None:
         """Streaming, depth-2 pipelined device mapping.
@@ -1289,7 +1312,10 @@ class Mapper:
 
         if p.use_device_pipeline and p.split:
             self.prewarm_async()
-            self._run_pipelined(owned_queries(), out, meter)
+            try:
+                self._run_pipelined(owned_queries(), out, meter)
+            finally:
+                self.finish_prewarm()
         else:
             pending: List[_Query] = []
             pending_frags = 0
