@@ -102,7 +102,13 @@ def _merge_theta(a: jax.Array, b: jax.Array, s: int) -> jax.Array:
 # (see _theta_chunk), scan steps are tiny (C, s) insert updates whose
 # cost is per-step dispatch overhead, so unrolling several offsets per
 # lax.scan step is a direct win.
-_SCAN_UNROLL = int(os.environ.get("MASHMAP_TPU_THETA_UNROLL", "4"))
+try:
+    _SCAN_UNROLL = max(1, int(os.environ.get(
+        "MASHMAP_TPU_THETA_UNROLL", "4")))
+except ValueError:
+    raise ValueError(
+        "MASHMAP_TPU_THETA_UNROLL must be a positive integer, got "
+        f"{os.environ['MASHMAP_TPU_THETA_UNROLL']!r}") from None
 
 # offsets merged per lax.map step in the batched theta merge: bounds the
 # (MERGE_BLOCK * C, s, s) comparison-cube working set XLA tiles over.

@@ -35,6 +35,20 @@ from .results import MappingResult
 logger = logging.getLogger("mashmap_tpu.map")
 
 
+def _gather_sketch_rows(qh_dev, qs_dev, indices):
+    """Device row gather of sketch hashes/strands at `indices`, with
+    the index vector padded to a pow2 grid (repeating indices[0]) so
+    the gather's XLA shape is reused across batches/runs. Callers slice
+    the first len(indices) rows."""
+    import jax.numpy as jnp
+    npow = 1 << max(3, (len(indices) - 1).bit_length())
+    idxv = np.full(npow, indices[0], np.int32)
+    idxv[:len(indices)] = indices
+    idxs = jnp.asarray(idxv)
+    return (jnp.take(qh_dev, idxs, axis=0),
+            jnp.take(qs_dev, idxs, axis=0))
+
+
 def _start_host_copy(arr) -> None:
     """Begin an async device->host transfer for a buffer we will
     device_get later. On the tunneled TPU backend a fetch pays ~300ms
@@ -909,16 +923,9 @@ class Mapper:
             _start_host_copy(ctx.pcat)
         ctx.pending = [(chunk, int(b.shape[0])) for chunk, b in pending]
         # host-replay sketch rows: dispatch the tiny gather now too
-        # (index vector padded to pow2 so the gather's XLA shape is
-        # reused across batches/runs)
         need = sorted({i for (i, _j) in host_l2_set})
         if need:
-            npow = 1 << max(3, (len(need) - 1).bit_length())
-            idxv = np.full(npow, need[0], np.int32)
-            idxv[:len(need)] = need
-            idxs = jnp.asarray(idxv)
-            ctx.qh_pick = (jnp.take(qh_dev, idxs, axis=0),
-                           jnp.take(qs_dev, idxs, axis=0))
+            ctx.qh_pick = _gather_sketch_rows(qh_dev, qs_dev, need)
             _start_host_copy(ctx.qh_pick[0])
             _start_host_copy(ctx.qh_pick[1])
         ctx.need0 = need
@@ -975,13 +982,8 @@ class Mapper:
             ctx.qh_pick = None
         late = sorted({i for (i, _j) in host_l2_set} - set(ctx.need0))
         if late:
-            npow = 1 << max(3, (len(late) - 1).bit_length())
-            idxv = np.full(npow, late[0], np.int32)
-            idxv[:len(late)] = late
-            idxs = jnp.asarray(idxv)
             qh_rows, qs_rows = jax.device_get(
-                (jnp.take(ctx.qh_dev, idxs, axis=0),
-                 jnp.take(ctx.qs_dev, idxs, axis=0)))
+                _gather_sketch_rows(ctx.qh_dev, ctx.qs_dev, late))
             qh_host.update({i: (qh_rows[t], qs_rows[t])
                             for t, i in enumerate(late)})
         ctx.qh_host = qh_host
@@ -1114,7 +1116,13 @@ class Mapper:
             from ..parallel.sharded_index import L2_T_MAX
             S = jax.ShapeDtypeStruct
             try:
-                Bp = p.batch_fragments
+                # mirror _dispatch_batch's padding: full batches land
+                # on the {2^k, 1.5*2^k} grid floored at batch_fragments
+                B = p.batch_fragments
+                g = 1 << max(3, (B - 1).bit_length())
+                if B <= (g * 3) // 4:
+                    g = (g * 3) // 4
+                Bp = max(p.batch_fragments, g)
                 L = p.seg_length
                 NC = self._n_contigs_padded
                 a = (S((Bp, L), jnp.uint8),) + tuple(
@@ -1319,21 +1327,23 @@ class Mapper:
         else:
             pending: List[_Query] = []
             pending_frags = 0
-            for q in owned_queries():
-                pending.append(q)
-                pending_frags += max(1, len(q.seq) // p.seg_length)
-                if pending_frags >= p.batch_fragments:
-                    for qq, rows in self.map_queries(pending):
-                        self._emit(qq, rows, out)
-                        if meter is not None:
-                            meter.increment(len(qq.seq))
-                    pending = []
-                    pending_frags = 0
-            if pending:
+
+            def flush():
+                nonlocal pending, pending_frags
                 for qq, rows in self.map_queries(pending):
                     self._emit(qq, rows, out)
                     if meter is not None:
                         meter.increment(len(qq.seq))
+                pending = []
+                pending_frags = 0
+
+            for q in owned_queries():
+                pending.append(q)
+                pending_frags += max(1, len(q.seq) // p.seg_length)
+                if pending_frags >= p.batch_fragments:
+                    flush()
+            if pending:
+                flush()
         if meter is not None:
             meter.finish()
 

@@ -85,8 +85,11 @@ def test_progress_meter_rises_during_run():
     m = ProgressMeter(1000, "[x] mapped", stream=buf, interval=0.01)
     import time
     m.increment(250)
-    time.sleep(0.05)
-    mid = buf.getvalue()
+    deadline = time.time() + 2.0     # poll: fixed sleeps are flaky
+    mid = ""
+    while time.time() < deadline and "25.00%" not in mid:
+        time.sleep(0.02)
+        mid = buf.getvalue()
     m.increment(750)
     m.finish()
     assert "25.00%" in mid
