@@ -1,13 +1,19 @@
 #!/usr/bin/env python
 """Flagship benchmark: human-scale assembly->reference mapping.
 
-Maps the ~3 Gbp mutated synthetic assembly (data/generated/hg3g_asm.fa,
-scripts in /tmp generate it from hg3g.fa) against the 3 Gbp hg3g index
-(--loadIndex data/generated/hg3g.idx) on the real chip, end to end.
-This is BASELINE config 5 (the reference's human->GRCh38 headline run,
-/root/reference/README.md:8). Prints one JSON line with query Mbp/s.
+BASELINE config 5 (the reference's human->GRCh38 headline run,
+/root/reference/README.md:8), in two phases:
 
-Usage: python scripts/bench_flagship.py [--ref-binary-too]
+1. BUILD: index the 3 Gbp synthetic reference (data/generated/hg3g.fa)
+   with --saveIndex semantics, verified loadable afterwards. (The
+   round-2 save was truncated; this re-times the round-3 overlapped
+   build — VERDICT item 3.)
+2. MAP: map the ~3 Gbp mutated assembly (data/generated/hg3g_asm.fa)
+   against it on the real chip, end to end.
+
+Prints one JSON line per phase. Usage:
+    python scripts/bench_flagship.py [--build-only|--map-only]
+        [--ref-binary-too]
 """
 import json
 import os
@@ -27,7 +33,37 @@ IDX = os.path.join(DATA, "hg3g.idx.npz")
 OUT = os.path.join(DATA, "flagship_ours.paf")
 
 
-def main():
+def idx_ok() -> bool:
+    import zipfile
+    try:
+        zipfile.ZipFile(IDX).namelist()
+        return True
+    except Exception:
+        return False
+
+
+def build_phase():
+    from mashmap_tpu.params import Parameters
+    from mashmap_tpu.api import build_or_load_index
+
+    p = Parameters(ref_sequences=[REF_FA],
+                   percentage_identity=0.95).finalize()
+    t0 = time.time()
+    idx = build_or_load_index(p)
+    dt = time.time() - t0
+    idx.save(IDX[:-4])          # np.savez appends .npz
+    assert idx_ok(), "saved index failed the zip integrity check"
+    print(json.dumps({
+        "metric": "3 Gbp reference index BUILD (1 chip)",
+        "value": round(dt, 1), "unit": "s",
+        "minmers": int(len(idx.uniq_hashes)),
+        "interval_rows": int(len(idx.mi_hash)),
+        "k": idx.kmer_size, "w": idx.window_size,
+        "s": idx.sketch_size,
+    }), flush=True)
+
+
+def map_phase():
     from mashmap_tpu.params import Parameters
     from mashmap_tpu.api import map_files
 
@@ -52,23 +88,31 @@ def main():
         "total_s": round(dt, 1),
         "paf_rows": n,
         "peak_host_gb": round(peak_gb, 2),
-    }))
+    }), flush=True)
 
-    if "--ref-binary-too" in sys.argv:
-        ref_bin = "/tmp/mashmap_ref/mashmap"
-        t0 = time.time()
-        r = subprocess.run(
-            [ref_bin, "-r", REF_FA, "-q", ASM_FA, "--pi", "95",
-             "-t", "8", "-o", OUT + ".ref"],
-            capture_output=True, text=True, timeout=14400)
-        dt = time.time() - t0
-        print(json.dumps({
-            "metric": "reference binary, same run (-t 8, this host)",
-            "value": round(q_bp / 1e6 / dt, 3),
-            "unit": "Mbp/s", "total_s": round(dt, 1),
-            "rc": r.returncode,
-        }))
+
+def reference_run():
+    ref_bin = "/tmp/mashmap_ref/mashmap"
+    q_bp = (os.path.getsize(ASM_FA) * 80) // 81
+    t0 = time.time()
+    r = subprocess.run(
+        [ref_bin, "-r", REF_FA, "-q", ASM_FA, "--pi", "95",
+         "-t", "8", "-o", OUT + ".ref"],
+        capture_output=True, text=True, timeout=28800)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "reference binary, same run (-t 8, this host)",
+        "value": round(q_bp / 1e6 / dt, 3),
+        "unit": "Mbp/s", "total_s": round(dt, 1),
+        "rc": r.returncode,
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--map-only" not in sys.argv and (
+            "--build-only" in sys.argv or not idx_ok()):
+        build_phase()
+    if "--build-only" not in sys.argv:
+        map_phase()
+    if "--ref-binary-too" in sys.argv:
+        reference_run()
