@@ -521,6 +521,16 @@ class ReferenceIndex:
     # --- persistence (reference --saveIndex/--loadIndex,
     #     winSketch.hpp:270-374; we use npz instead of raw structs) ---
     def save(self, path: str) -> None:
+        # atomic: write to a temp file and rename, so a crash mid-save
+        # (a multi-minute write at human scale) never leaves a
+        # truncated npz at the target path
+        import os
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + ".tmp.npz"    # .npz suffix => savez writes it as-is
+        self._savez(tmp)
+        os.replace(tmp, final)
+
+    def _savez(self, path: str) -> None:
         np.savez_compressed(
             path,
             names=np.array(self.names),
