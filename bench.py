@@ -53,7 +53,8 @@ def run_ours(fasta: str) -> float:
             percentage_identity=PI / 100.0,
             skip_prefix=True, prefix_delim="#",
             num_mappings_for_segment=1,
-            batch_fragments=1024,
+            batch_fragments=int(
+                os.environ.get("MASHMAP_TPU_BENCH_BATCH", "1024")),
         )
 
     # Steady-state measurement: run once to warm the persistent XLA

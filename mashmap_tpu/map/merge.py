@@ -17,7 +17,14 @@ from .results import MappingResult
 
 
 class DisjointSets:
-    """Union-find with union-by-rank (reference: src/common/dset64.hpp)."""
+    """Union-find with union-by-rank (reference: src/common/dset64.hpp).
+
+    Root selection matches dset64::unite exactly (dset64.hpp:87-99):
+    the higher-rank root wins; on a rank tie the SMALLER id wins and
+    its rank increments. Chain roots become splitMappingId values whose
+    std::sort order decides each merged row's surviving head, so the
+    tie-break is output-visible.
+    """
 
     def __init__(self, n: int):
         self.parent = list(range(n))
@@ -32,14 +39,15 @@ class DisjointSets:
         return root
 
     def unite(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra == rb:
+        r1, r2 = self.find(a), self.find(b)
+        if r1 == r2:
             return
-        if self.rank[ra] < self.rank[rb]:
-            ra, rb = rb, ra
-        self.parent[rb] = ra
-        if self.rank[ra] == self.rank[rb]:
-            self.rank[ra] += 1
+        if self.rank[r1] > self.rank[r2] or (
+                self.rank[r1] == self.rank[r2] and r1 < r2):
+            r1, r2 = r2, r1
+        self.parent[r1] = r2
+        if self.rank[r1] == self.rank[r2]:
+            self.rank[r2] += 1
 
 
 def merge_mappings_in_range(mappings: List[MappingResult],
@@ -81,7 +89,14 @@ def merge_mappings_in_range(mappings: List[MappingResult],
     for m in mappings:
         m.split_mapping_id = ds.find(m.split_mapping_id)
 
-    mappings.sort(key=lambda m: m.split_mapping_id)
+    # the reference sorts by splitMappingId with std::sort — UNSTABLE,
+    # so the permutation of each chain's equal keys (and with it the
+    # surviving head whose conservedSketches is PAF column 10, plus the
+    # float accumulation order of the chain means) is a libstdc++
+    # introsort artifact (computeMap.hpp:1646-1652). Replay it exactly.
+    from .cxxsort import cxx_sort_perm
+    perm = cxx_sort_perm([m.split_mapping_id for m in mappings])
+    mappings = [mappings[i] for i in perm]
 
     out: List[MappingResult] = []
     i = 0
@@ -102,9 +117,16 @@ def merge_mappings_in_range(mappings: List[MappingResult],
         head.approx_matches = cpp_round(
             head.nuc_identity * head.block_length / 100.0)
         head.n_merged = len(chain)
-        head.nuc_identity = sum(m.nuc_identity for m in chain) / len(chain)
-        head.kmer_complexity = (
-            sum(m.kmer_complexity for m in chain) / len(chain))
+        # accumulate in CHAIN order (double adds are not associative;
+        # the reference's accumulate iterates the introsort order)
+        acc = 0.0
+        for m in chain:
+            acc += m.nuc_identity
+        head.nuc_identity = acc / len(chain)
+        acc = 0.0
+        for m in chain:
+            acc += m.kmer_complexity
+        head.kmer_complexity = acc / len(chain)
         out.append(head)
         i = j
     return out

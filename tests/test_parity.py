@@ -61,9 +61,13 @@ def run_ours(tmp_path, ref, query, **kw):
 
 
 def paf_core(line):
-    """(qname, qstart, qend, strand, tname, tstart, tend, id-tag)."""
+    """Every PAF column except kc:f/jc:f tags: qname qlen qstart qend
+    strand tname tlen tstart tend conserved blockLen mapq id-tag.
+    Col 10 (conserved sketches of the merged-chain head) is included:
+    the libstdc++ introsort replay (map/cxxsort.py) makes it exact."""
     f = line.split("\t")
-    return (f[0], int(f[2]), int(f[3]), f[4], f[5], int(f[7]), int(f[8]),
+    return (f[0], int(f[1]), int(f[2]), int(f[3]), f[4], f[5], int(f[6]),
+            int(f[7]), int(f[8]), int(f[9]), int(f[10]), int(f[11]),
             f[12] if len(f) > 12 else "")
 
 

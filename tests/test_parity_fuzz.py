@@ -37,10 +37,11 @@ UINT64_MAX = (1 << 64) - 1
 
 
 def _core(line):
+    """Every column; id:f rounded to 4 decimals (f32 print noise)."""
     f = line.rstrip("\n").split("\t")
     if len(f) > 12:
         f[12] = str(round(float(f[12].split(":")[-1]), 4))
-    return tuple(f[:9] + f[10:])
+    return tuple(f)
 
 
 def _ensure_oracle():
@@ -167,12 +168,10 @@ def _run_case(tmp_path, seed):
         if rng.random() < 0.3:
             qflags += ["-K"]
             pkw.update(keep_low_pct_id=False)
-        if rng.random() < 0.3 and not merge:
-            # -x only without -M=off: the sparsify hash covers col 10
-            # (conserved sketches), and merged-chain representatives
-            # pick col 10 via the reference's UNSTABLE std::sort
-            # (computeMap.hpp:1589-1610, PARITY.md divergence 2), so
-            # -x selection on merged rows is not comparable
+        if rng.random() < 0.3:
+            # -x composes with merging now that the merged-chain head
+            # (whose col 10 feeds MappingResult::hash) is picked by the
+            # exact libstdc++ introsort replay (map/cxxsort.py)
             x = float(rng.choice([0.25, 0.5, 0.8]))
             qflags += ["-x", str(x)]
             pkw.update(sparsity_hash_threshold=int(x * UINT64_MAX))
