@@ -41,8 +41,15 @@ from ..kernels.winnow import SENTINEL
 logger = logging.getLogger("mashmap_tpu.index")
 
 # contigs beyond this many positions use the streaming (chunked + halo)
-# events kernel; module-level so tests can force the chunked path
-_EVENTS_CH_MAX = 1 << 24
+# events kernel; module-level so tests can force the chunked path.
+# Env-tunable (pow2) for on-chip sizing: larger chunks = fewer
+# sequential kernel invocations per group but a bigger multi-GB device
+# transient per call (HBM ceiling), smaller = the reverse.
+import os as _os                                            # noqa: E402
+_EVENTS_CH_MAX = int(_os.environ.get("MASHMAP_TPU_EVENTS_CHUNK",
+                                     1 << 24))
+if _EVENTS_CH_MAX & (_EVENTS_CH_MAX - 1):
+    raise ValueError("MASHMAP_TPU_EVENTS_CHUNK must be a power of two")
 
 FWD = np.int8(1)
 REV = np.int8(-1)
@@ -140,6 +147,17 @@ def _padto_fn(L: int, out: int, dtype_name: str):
 def _gpad(x, out: int, n_valid: int, fill):
     fn = _padto_fn(int(x.shape[0]), out, str(x.dtype))
     return fn(x, np.int32(n_valid), x.dtype.type(fill))
+
+
+def _start_host_copy(arr) -> None:
+    """Begin an async device->host transfer for a buffer device_get'd
+    later (mirrors map/engine.py): on the tunneled backend a fetch pays
+    ~300ms latency + ~15 MB/s, so starting the copy early lets the
+    bytes travel under the next group's device phases."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:        # multi-device layouts / older jax: harmless
+        pass
 
 
 @functools.lru_cache(maxsize=None)
@@ -922,6 +940,8 @@ def _build_group(
     hashed_any = bool(spans_c)
     lut_dev = None
     uniq_host = None
+    ev_rank_arrays = None       # device-events defer path only
+    deferred_cat = None
     use_device_events = (
         not host_mode
         and os.environ.get("MASHMAP_TPU_DEVICE_EVENTS", "1") != "0")
@@ -1066,40 +1086,69 @@ def _build_group(
                          4 * cap1 + mem_cap + e_m]]
             sized.append((i, seq_id, n, n_w, e_b, e_m,
                           n_bg, n_en, n_mem))
-        all_buf = (jax.device_get(jnp.concatenate(pieces))
-                   if pieces else np.empty(0, np.int32))
-        _mark("events+fetch")
 
-        ev_results = []               # (seq_id, n, n_w, unpacked)
-        chunk_acc = {}                # i -> [bh, bW, eh, eW, mrk, mpos]
-        chunk_info = {}
-        off = 0
-        for (i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
-            seg = all_buf[off:off + 4 * e1].reshape(4, e1)
-            mm = all_buf[off + 4 * e1:
-                         off + 4 * e1 + 2 * e2].reshape(2, e2)
-            off += 4 * e1 + 2 * e2
-            acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
-            acc[0].append(seg[0, :na])
-            acc[1].append(seg[1, :na])
-            acc[2].append(seg[2, :nb])
-            acc[3].append(seg[3, :nb])
-            acc[4].append(mm[0, :nm])
-            acc[5].append(mm[1, :nm])
-            chunk_info[i] = (seq_id, n, n_w)
-        # cheap integrity check: a silently-clamped slice upstream would
-        # desynchronize the offset walk (see events_caps pow2 rounding)
-        assert off == len(all_buf), \
-            f"events fetch misaligned: consumed {off} of {len(all_buf)}"
-        for i, acc in chunk_acc.items():
-            seq_id, n, n_w = chunk_info[i]
-            bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)
-                                         for a in acc)
-            iv_hash, iv_wb, iv_we, _ = _pair_begin_end(
-                bh, bW.astype(np.int64), eh, eW.astype(np.int64), n)
-            got = (iv_hash, iv_wb, iv_we, mpos.astype(np.int64),
-                   (mrk >> 1), ((mrk & 1) * 2 - 1).astype(np.int64))
-            ev_results.append((seq_id, n, n_w, got))
+        def _unpack_events(all_buf):
+            """Sized fetch -> per-contig sparse event arrays (host)."""
+            ev = []                   # (seq_id, n, n_w, unpacked)
+            chunk_acc = {}            # i -> [bh, bW, eh, eW, mrk, mpos]
+            chunk_info = {}
+            off = 0
+            for (i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
+                seg = all_buf[off:off + 4 * e1].reshape(4, e1)
+                mm = all_buf[off + 4 * e1:
+                             off + 4 * e1 + 2 * e2].reshape(2, e2)
+                off += 4 * e1 + 2 * e2
+                acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
+                acc[0].append(seg[0, :na])
+                acc[1].append(seg[1, :na])
+                acc[2].append(seg[2, :nb])
+                acc[3].append(seg[3, :nb])
+                acc[4].append(mm[0, :nm])
+                acc[5].append(mm[1, :nm])
+                chunk_info[i] = (seq_id, n, n_w)
+            # cheap integrity check: a silently-clamped slice upstream
+            # would desynchronize the offset walk (events_caps rounding)
+            assert off == len(all_buf), \
+                f"events fetch misaligned: consumed {off} of {len(all_buf)}"
+            for i, acc in chunk_acc.items():
+                seq_id, n, n_w = chunk_info[i]
+                bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)
+                                             for a in acc)
+                iv_hash, iv_wb, iv_we, _ = _pair_begin_end(
+                    bh, bW.astype(np.int64), eh, eW.astype(np.int64), n)
+                got = (iv_hash, iv_wb, iv_we, mpos.astype(np.int64),
+                       (mrk >> 1), ((mrk & 1) * 2 - 1).astype(np.int64))
+                ev.append((seq_id, n, n_w, got))
+            return ev
+
+        ev_results = []
+        deferred_cat = None
+        if pieces and defer_host and lut_dev is not None:
+            # Overlapped build: the sized fetch (tens of seconds per
+            # 256M-position group on a ~15 MB/s tunnel) moves OFF the
+            # critical path — start an async device->host copy now and
+            # device_get it inside the deferred host closure, so the
+            # bytes travel while the NEXT group's device phases run.
+            # Only the begin-rank lanes are fetched synchronously (the
+            # LUT prefetch below needs the distinct ranks; member
+            # occurrences are a subset of begins by construction —
+            # builder.py:303-304 — and _resolve_group_hashes asserts
+            # subsetness, so a violation fails loudly, never silently).
+            deferred_cat = jnp.concatenate(pieces)
+            _start_host_copy(deferred_cat)
+            bh_buf = jax.device_get(jnp.concatenate(pieces[0::6]))
+            bh_live, boff = [], 0
+            for (_i, _sid, _n, _nw, e1, _e2, na, _nb, _nm) in sized:
+                bh_live.append(bh_buf[boff:boff + na])
+                boff += e1
+            ev_rank_arrays = bh_live
+            _mark("events+bh-fetch")
+        else:
+            all_buf = (jax.device_get(jnp.concatenate(pieces))
+                       if pieces else np.empty(0, np.int32))
+            _mark("events+fetch")
+            ev_results = _unpack_events(all_buf)
+            ev_rank_arrays = None
     elif hashed_any and not host_mode:
         # ---- phase 2 (device): global rank reduction; fetch ONLY the
         # compact int32 ranks + strands (one transfer)
@@ -1195,27 +1244,38 @@ def _build_group(
     if defer_host and lut_dev is None and (per_contig or ev_results):
         # host-path groups have no device dependency at all
         return lambda: _classify_and_resolve(None, uniq_host, None)
-    if defer_host and ev_results and lut_dev is not None:
+    if defer_host and ev_rank_arrays is not None and lut_dev is not None:
         # Overlapped build: prefetch the u64 LUT at every DISTINCT
-        # event rank now (survivors are a subset), free the device LUT,
-        # and hand the caller a pure-host closure it can run on a
-        # worker thread while the NEXT group's device phases proceed.
-        rank_arrays = []
-        for _, _, _, (iv_rank, _, _, _, mh_occ, _) in ev_results:
-            rank_arrays.append(iv_rank)
-            rank_arrays.append(mh_occ)
-        uniq_ev = (np.unique(np.concatenate(rank_arrays))
-                   if rank_arrays else np.empty(0, np.int32))
+        # begin rank now (all surviving ranks are a subset), free the
+        # device LUT, and hand the caller a closure that first collects
+        # the async events copy, then runs pure-host classification on
+        # a worker thread while the NEXT group's device phases proceed.
+        uniq_ev = (np.unique(np.concatenate(ev_rank_arrays))
+                   if ev_rank_arrays else np.empty(0, np.int32))
         if len(uniq_ev):
             npad = _pad_len(len(uniq_ev), lo=1 << 10)
             idxs = np.zeros(npad, np.int32)
             idxs[:len(uniq_ev)] = uniq_ev
-            vals = np.asarray(jax.device_get(
-                jnp.take(lut_dev, jnp.asarray(idxs))))[:len(uniq_ev)]
+            # async too: the take is dispatched now (so the device LUT
+            # ref can drop — XLA keeps it alive only until the op
+            # runs), and the u64 values travel with the events copy
+            vals_dev = jnp.take(lut_dev, jnp.asarray(idxs))
+            _start_host_copy(vals_dev)
         else:
-            vals = np.empty(0, np.uint64)
+            vals_dev = None
         lut_dev = None
         _mark("lut-prefetch")
-        return lambda: _classify_and_resolve(None, None, (uniq_ev, vals))
+
+        def _collect_and_classify(cat=deferred_cat):
+            t0 = _time.perf_counter()
+            vals = (np.asarray(jax.device_get(vals_dev))[:len(uniq_ev)]
+                    if vals_dev is not None else np.empty(0, np.uint64))
+            ev_results.extend(
+                _unpack_events(np.asarray(jax.device_get(cat))))
+            logger.debug("group phase %-14s %.2fs", "events-collect",
+                         _time.perf_counter() - t0)
+            return _classify_and_resolve(None, None, (uniq_ev, vals))
+
+        return _collect_and_classify
 
     return _classify_and_resolve(lut_dev, uniq_host, None)

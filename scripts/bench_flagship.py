@@ -16,6 +16,7 @@ Prints one JSON line per phase. Usage:
         [--ref-binary-too]
 """
 import json
+import logging
 import os
 import resource
 import subprocess
@@ -25,6 +26,11 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# per-phase build/map timings (builder/engine _mark debug logs) on
+# stderr — the evidence trail for the build-time work
+logging.basicConfig(format="%(asctime)s %(name)s %(message)s")
+logging.getLogger("mashmap_tpu").setLevel(logging.DEBUG)
 
 DATA = os.path.join(HERE, "data", "generated")
 REF_FA = os.path.join(DATA, "hg3g.fa")
