@@ -115,12 +115,35 @@ def context() -> Optional[DistContext]:
     return _CTX
 
 
+_BARRIER_SEQ: dict = {}
+
+
 def barrier(tag: str) -> None:
-    """Block until every process reaches this point."""
+    """Block until every process reaches this point.
+
+    Uses the jax.distributed coordination-service barrier directly
+    (DCN), NOT a device collective: ``sync_global_devices`` lowers to a
+    psum whose CPU Gloo context initialization has a hard 30s key-value
+    timeout — on a loaded host a peer still compiling its first program
+    misses that window and the whole run dies (seen in CI). The
+    coordination client is already connected (``setup``), needs no
+    collective compile, and takes an explicit timeout
+    (MASHMAP_TPU_BARRIER_TIMEOUT_S, default 1h — index builds are
+    legitimately long). Barrier ids are sequence-numbered per tag; all
+    processes execute the same barrier sequence by construction.
+    """
     if _CTX is None:
         return
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices(tag)
+    _BARRIER_SEQ[tag] = seq = _BARRIER_SEQ.get(tag, 0) + 1
+    timeout_ms = int(float(os.environ.get(
+        "MASHMAP_TPU_BARRIER_TIMEOUT_S", "3600")) * 1000)
+    from jax._src import distributed as _dist
+    client = _dist.global_state.client
+    if client is None:  # pragma: no cover - setup() always connects
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+        return
+    client.wait_at_barrier(f"mashmap:{tag}:{seq}", timeout_ms)
 
 
 def merge_paf_parts(out_file_name: str, ctx: DistContext) -> None:
