@@ -327,6 +327,39 @@ def contig_minmer_intervals(
     return (iv_hash, iv_wb, iv_we), (s_hash, s_wb, s_we, s_strand)
 
 
+def _sort_by_hash_then_pos(h, W):
+    """Sort (h, W) pairs by (h, W) via one packed-uint64 ``np.sort``.
+
+    Equivalent to ``np.lexsort((W, h))`` + gathers but ~40x faster on
+    this 1-core host (no indirect comparisons, no permutation gather).
+    Requires 0 <= h < 2**31 (group-local int32 ranks) and
+    0 <= W < 2**32 (window positions within one contig) — both hold by
+    construction; (h, W) pairs are distinct so tie order is moot.
+    """
+    key = h.astype(np.uint64)
+    key <<= np.uint64(32)
+    key |= (W.view(np.uint64) if W.dtype == np.int64
+            else W.astype(np.uint64))  # W >= 0: same bits
+    key.sort()
+    h_out = (key >> np.uint64(32)).astype(h.dtype)
+    key &= np.uint64(0xFFFFFFFF)
+    return h_out, key.view(np.int64)
+
+
+def _sorted_groups(x):
+    """(group_starts, group_counts) of equal runs in a SORTED array —
+    the presorted replacement for ``np.unique(..., return_index=True,
+    return_counts=True)`` (which re-sorts, ~6x slower)."""
+    n = len(x)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    bnd = np.empty(n, bool)
+    bnd[0] = True
+    np.not_equal(x[1:], x[:-1], out=bnd[1:])
+    starts = np.flatnonzero(bnd)
+    return starts, np.diff(np.append(starts, n))
+
+
 def _pair_begin_end(beg_h, beg_W, end_h, end_W, n_flush):
     """Pair the j-th begin of every hash with its j-th end.
 
@@ -334,21 +367,40 @@ def _pair_begin_end(beg_h, beg_W, end_h, end_W, n_flush):
     unique_begin_hashes); unmatched begins flush at ``n_flush``
     (reference flush value len-k+1, commonFunc.hpp:508-520).
     """
-    ob = np.lexsort((beg_W, beg_h))
-    beg_W, beg_h = beg_W[ob], beg_h[ob]
-    oe = np.lexsort((end_W, end_h))
-    end_W, end_h = end_W[oe], end_h[oe]
+    if len(beg_h) == 0:
+        assert len(end_h) == 0, "end event for unknown hash"
+        e = np.empty(0, np.int64)
+        return beg_h, e, e, np.unique(beg_h)
+    assert n_flush < (1 << 32), "contig too long for packed keys"
+    uncompress = None
+    if int(beg_h.max()) >= (1 << 31):
+        # exotic caller (raw u64 hash domain): rank-compress so the
+        # packed sort and the dense inverse table stay small; ranks are
+        # order-isomorphic to the original values, so the sorted order
+        # and the grouping are unchanged (production group-local ranks
+        # are < 2^30 by construction and skip this)
+        uncompress = np.unique(np.concatenate([
+            beg_h.astype(np.uint64), end_h.astype(np.uint64)]))
+        beg_h = np.searchsorted(uncompress, beg_h.astype(np.uint64))
+        end_h = np.searchsorted(uncompress, end_h.astype(np.uint64))
+    beg_h, beg_W = _sort_by_hash_then_pos(beg_h, beg_W)
+    end_h, end_W = _sort_by_hash_then_pos(end_h, end_W)
 
-    uh, b_start, b_cnt = np.unique(beg_h, return_index=True,
-                                   return_counts=True)
+    b_start, b_cnt = _sorted_groups(beg_h)
+    uh = beg_h[b_start]
+    e_start_u, e_cnt_u = _sorted_groups(end_h)
+    ue = end_h[e_start_u]
     e_cnt = np.zeros(len(uh), np.int64)
-    ue, e_start_u, e_cnt_u = np.unique(end_h, return_index=True,
-                                       return_counts=True)
-    pos_in_uh = np.searchsorted(uh, ue)
-    assert np.array_equal(uh[pos_in_uh], ue), "end event for unknown hash"
+    # ranks are dense group-local ints: an O(1)-lookup inverse table
+    # replaces searchsorted (binary search was ~8s per 12M at 3 Gbp)
+    hi_rank = int(uh[-1]) if len(uh) else -1
+    if len(ue):
+        hi_rank = max(hi_rank, int(ue[-1]))
+    inv = np.full(hi_rank + 1, -1, np.int32)
+    inv[uh] = np.arange(len(uh), dtype=np.int32)
+    pos_in_uh = inv[ue].astype(np.int64)
+    assert (pos_in_uh >= 0).all(), "end event for unknown hash"
     e_cnt[pos_in_uh] = e_cnt_u
-    e_start = np.zeros(len(uh), np.int64)
-    e_start[pos_in_uh] = e_start_u
     assert np.all((b_cnt - e_cnt >= 0) & (b_cnt - e_cnt <= 1)), \
         "begin/end events must alternate per hash"
 
@@ -365,6 +417,9 @@ def _pair_begin_end(beg_h, beg_W, end_h, end_W, n_flush):
     iv_we[flush_b] = n_flush
     # (by construction, within each hash begins and ends interleave:
     #  b_0 < e_0 <= b_1 < e_1 ... — validated in tests)
+    if uncompress is not None:
+        iv_hash = uncompress[iv_hash]
+        uh = uncompress[uh]
     return iv_hash, iv_wb, iv_we, uh
 
 
@@ -380,40 +435,109 @@ def strand_classify(iv_hash, iv_wb, iv_we, mp, mh, md, n_w, s_b, n_k,
     bookkeeping). Shared by the host path and the device events kernel
     (kernels/events.py), whose fetch provides exactly these arrays.
     """
-    # enter events at max(0, p-s_b+1); leave events at p+1 (if < n_w)
-    ent_W = np.maximum(mp - s_b + 1, 0)
+    # enter events at max(0, p-s_b+1); leave events at p+1 (if < n_w).
+    # Event order is (hash, W, leave-before-enter, original order) — the
+    # per-window processing order. One packed np.sort reproduces it
+    # EXACTLY without a lexsort + permutation gathers (~8x at 3 Gbp
+    # group scale): sort on the UNCLAMPED field p+1 for enters (= raw
+    # enter window p-s_b+1 shifted by +s_b) and p+1+s_b for leaves.
+    # Order-equivalence proof:
+    #   * unclamped fields are distinct per (hash, type) (occurrence
+    #     positions p are distinct per hash), so keys never tie and the
+    #     strand-delta payload bit below them never decides order;
+    #   * enters clamped to W=0 (p < s_b-1, fields 1..s_b-1) sort among
+    #     themselves by ascending p = exactly the stable-lexsort tie
+    #     order (mh/mp arrive sorted by (hash, pos)), and before every
+    #     unclamped enter (fields >= s_b) and every leave (>= s_b+1);
+    #   * an enter and a leave at the same window W (p_e = p_l + s_b)
+    #     collide in the field and are ordered by the type bit,
+    #     leave-first — same as the lexsort's ev_t key.
     has_leave = (mp + 1) < n_w
-    ev_h = np.concatenate([mh, mh[has_leave]])
-    ev_W = np.concatenate([ent_W, mp[has_leave] + 1])
-    ev_d = np.concatenate([md, -md[has_leave]])
-    ev_t = np.concatenate([np.ones(len(mp), np.int8),
-                           np.zeros(has_leave.sum(), np.int8)])  # leave=0 first
-    eo = np.lexsort((ev_t, ev_W, ev_h))
-    ev_h, ev_W, ev_d, ev_t = ev_h[eo], ev_W[eo], ev_d[eo], ev_t[eo]
+    SH_H, SH_F = np.uint64(34), np.uint64(2)
+    mh = np.asarray(mh)
+    iv_hash = np.asarray(iv_hash)
+    assert n_k + s_b + 2 < (1 << 32), "contig too long for packed keys"
+    if len(mh) and int(mh.max()) >= (1 << 30):
+        # exotic caller (raw u64 hash domain): the packed key can't
+        # hold it — rank-compress first (production group-local ranks
+        # are < 2^30 by construction and skip this)
+        vals = np.unique(mh)
+        mh = np.searchsorted(vals, mh).astype(np.int64)
+        iv_hash_c = np.searchsorted(vals, iv_hash)
+    else:
+        iv_hash_c = iv_hash
+    fld = (mp + 1).astype(np.uint64)
+    md_ = np.asarray(md)
+    key = np.concatenate([
+        (np.asarray(mh).astype(np.uint64) << SH_H) | (fld << SH_F)
+        | np.uint64(2) | (md_ > 0).astype(np.uint64),        # enter: t=1
+        (np.asarray(mh)[has_leave].astype(np.uint64) << SH_H)
+        | ((fld[has_leave] + np.uint64(s_b)) << SH_F)
+        | (md_[has_leave] < 0).astype(np.uint64),            # leave: t=0
+    ])
+    key.sort()
+    ev_h = (key >> SH_H).astype(np.int64)
+    ev_W = np.maximum(
+        ((key >> SH_F) & np.uint64(0xFFFFFFFF)).astype(np.int64) - s_b, 0)
+    ev_t = ((key >> np.uint64(1)) & np.uint64(1)).astype(np.int8)
+    ev_d = ((key & np.uint64(1)) * np.uint64(2)).astype(np.int64) - 1
 
-    # per-hash running vote: global cumsum minus offset at group start
-    gh, g_start = np.unique(ev_h, return_index=True)
-    cum = np.cumsum(ev_d)
-    grp_idx = np.searchsorted(g_start, np.arange(len(ev_d)), side="right") - 1
+    # per-hash running vote: global cumsum minus offset at group start;
+    # events are hash-sorted, so group ids come from boundary flags
+    # (no np.unique re-sort, no searchsorted-over-arange)
+    n_ev = len(ev_h)
+    newg = np.empty(n_ev, bool)
+    if n_ev:
+        newg[0] = True
+        np.not_equal(ev_h[1:], ev_h[:-1], out=newg[1:])
+    g_start = np.flatnonzero(newg)
+    gh = ev_h[g_start]
+    cum = np.cumsum(ev_d, dtype=np.int32)   # |vote| <= n_ev < 2^31
+    grp_idx = np.cumsum(newg, dtype=np.int32) - 1
     offs = np.where(g_start > 0, cum[g_start - 1], 0)
     v_after = cum - offs[grp_idx]
     v_before = v_after - ev_d
     class_change = (v_before < 0) != (v_after < 0)
 
     # encode (hash_rank, W, type) as one sortable key
-    hr = np.searchsorted(gh, ev_h)
+    hr = grp_idx  # hash-sorted events are their own group index
     BIG = np.int64(2) * (n_k + s_b + 2)
     ev_key = hr.astype(np.int64) * BIG + ev_W * 2 + ev_t
 
-    ivr = np.searchsorted(gh, iv_hash)
-    # vote at interval open: last event with key <= (hr, wb, enter)
-    q0 = ivr * BIG + iv_wb * 2 + 1
-    i0 = np.searchsorted(ev_key, q0, side="right") - 1
+    # interval hash ranks via a dense inverse table (O(1) lookups; every
+    # interval's hash has >=1 occurrence event — membership implies
+    # occurrence — so no miss handling is needed, asserted below)
+    inv = np.full((int(gh[-1]) + 1) if len(gh) else 0, -1, np.int32)
+    inv[gh] = np.arange(len(gh), dtype=np.int32)
+    ivr = inv[np.asarray(iv_hash_c).astype(np.int64)].astype(np.int64)
+    assert len(ivr) == 0 or (ivr >= 0).all(), \
+        "interval hash with no occurrence events"
+    # Three binary-search passes into ev_key (~8s each per 12M queries
+    # at 3 Gbp scale) become ONE combined packed sort: tag each entry
+    # with a 2-bit marker that also encodes the side semantics —
+    # left-side queries (markers 0/1) sort BEFORE equal event keys
+    # (marker 2), the right-side query (marker 3) AFTER — then the
+    # running event count at each query's slot IS its searchsorted
+    # result. Queries within each marker class are ascending (intervals
+    # arrive sorted by (hash, wb)), so extraction by marker returns
+    # answers in original interval order.
+    q0 = (ivr * BIG + iv_wb * 2 + 1).astype(np.uint64)
+    comb = np.concatenate([
+        (ivr * BIG + (iv_wb + 1) * 2).astype(np.uint64) << SH_F,  # lo
+        ((ivr * BIG + iv_we * 2).astype(np.uint64) << SH_F)
+        | np.uint64(1),                                           # hi
+        (ev_key.astype(np.uint64) << SH_F) | np.uint64(2),
+        (q0 << SH_F) | np.uint64(3),
+    ])
+    comb.sort()
+    mk = (comb & np.uint64(3)).astype(np.int8)
+    evcnt = np.cumsum(mk == 2, dtype=np.int32)
+    lo = evcnt[mk == 0]
+    hi = evcnt[mk == 1]
+    i0 = evcnt[mk == 3] - 1
     v0 = v_after[i0]
-    # events strictly inside (wb, we)
-    lo = np.searchsorted(ev_key, ivr * BIG + (iv_wb + 1) * 2)
-    hi = np.searchsorted(ev_key, ivr * BIG + iv_we * 2)
-    cc_cum = np.concatenate(([0], np.cumsum(class_change)))
+    cc_cum = np.concatenate((np.zeros(1, np.int32),
+                             np.cumsum(class_change, dtype=np.int32)))
     nflag = cc_cum[hi] - cc_cum[lo]
 
     plain = nflag == 0
@@ -736,11 +860,16 @@ def build_index(
     pseq = _cat(acc_seq, np.int32)
 
     # CSR postings: sort by (hash, seqid, wpos) in the u64 hash domain
-    # (local ranks never leave their group)
-    o = np.lexsort((pb, pseq, ph))
+    # (local ranks never leave their group). The accumulators hold one
+    # hash-ascending run per contig (rank order == sorted-u64 order
+    # within each group LUT), appended in ascending seq_id, each run
+    # wpos-ascending within a hash — so ONE stable argsort on the hash
+    # alone reproduces lexsort((pb, pseq, ph)) exactly at a third of
+    # the passes (the old 3-key lexsort was minutes at 145M postings).
+    o = np.argsort(ph, kind="stable")
     ph, pb, pe, pseq = ph[o], pb[o], pe[o], pseq[o]
-    uniq_hashes, starts, counts = np.unique(
-        ph, return_index=True, return_counts=True)
+    starts, counts = _sorted_groups(ph)
+    uniq_hashes = ph[starts]
     post_offsets = np.concatenate(
         (starts, [len(ph)])).astype(np.int64)
 
@@ -754,10 +883,15 @@ def build_index(
     mi_strand = _cat(acc_ms, np.int8)
     mi_seqid = _cat(acc_mseq, np.int32)
 
-    # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504)
+    # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504):
+    # membership test against the (tiny) frequent set, not a binary
+    # search into all 100M+ hashes — the small sorted array stays in
+    # cache, ~10x on the 266M-row human-scale table
     if is_frequent.any():
-        idx = np.searchsorted(uniq_hashes, mi_hash)
-        keep = ~is_frequent[idx]
+        freq_h = uniq_hashes[is_frequent]
+        pos = np.minimum(np.searchsorted(freq_h, mi_hash),
+                         len(freq_h) - 1)
+        keep = freq_h[pos] != mi_hash
         mi_hash, mi_wpos, mi_wend = (mi_hash[keep], mi_wpos[keep],
                                      mi_wend[keep])
         mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
@@ -813,11 +947,19 @@ def _resolve_group_hashes(results, lut_dev, uniq_host, lut_pair=None):
     if not len(flat):
         return [(sid, (u64e, pb, pe), (u64e, mb, me, ms))
                 for sid, (ph, pb, pe), (mh, mb, me, ms) in results]
-    uniq_r = np.unique(flat)
+    # distinct ranks via a presence mask over the dense group-local
+    # rank domain — O(n), vs np.unique's full sort (~40s at 50M ranks)
+    seen = np.zeros(int(flat.max()) + 1, bool)
+    seen[flat] = True
+    uniq_r = np.flatnonzero(seen)
+    # rank -> slot in uniq_r, for the per-contig gathers below
+    slot = np.cumsum(seen, dtype=np.int32) - 1
     if lut_pair is not None:
         pr, pv = lut_pair
-        pos = np.searchsorted(pr, uniq_r)
-        assert np.array_equal(pr[pos], uniq_r), \
+        invp = np.full(int(pr[-1]) + 1 if len(pr) else 0, -1, np.int32)
+        invp[pr] = np.arange(len(pr), dtype=np.int32)
+        pos = invp[uniq_r]
+        assert len(pos) == 0 or (pos >= 0).all(), \
             "surviving ranks must be a subset of the prefetched LUT"
         vals = pv[pos]
     elif lut_dev is not None:
@@ -832,8 +974,8 @@ def _resolve_group_hashes(results, lut_dev, uniq_host, lut_pair=None):
         vals = uniq_host[uniq_r]
     out = []
     for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
-        ph_u = vals[np.searchsorted(uniq_r, ph)] if len(ph) else u64e
-        mh_u = vals[np.searchsorted(uniq_r, mh)] if len(mh) else u64e
+        ph_u = vals[slot[ph]] if len(ph) else u64e
+        mh_u = vals[slot[mh]] if len(mh) else u64e
         out.append((seq_id, (ph_u, pb, pe), (mh_u, mb, me, ms)))
     return out
 
@@ -1195,6 +1337,15 @@ def _build_group(
     # numpy releases the GIL for the heavy ops, so contigs parallelize
     # across host threads (the reference's per-contig ThreadPool,
     # winSketch.hpp:165) when -t > 1.
+    def _sort_rows(mh, mb, me, ms):
+        """Stable (wpos, wend) row sort: packed-key stable argsort
+        (~2.5x a lexsort at 3 Gbp group scale). Stability matters —
+        same-(wb,we) rows of different hashes must keep emission
+        order, which downstream table sorts inherit."""
+        o = np.argsort((mb.astype(np.uint64) << np.uint64(32))
+                       | me.astype(np.uint64), kind="stable")
+        return mh[o], mb[o], me[o], ms[o]
+
     def one_contig(args):
         (seq_id, r, st), theta = args
         valid = r != winnow.RSENT
@@ -1203,8 +1354,7 @@ def _build_group(
             sent=winnow.RSENT)
         mh, mb, me, ms = _chunk_long_intervals(
             mh, mb, me, ms, window_size)
-        o = np.lexsort((me, mb))
-        return seq_id, (ph, pb, pe), (mh[o], mb[o], me[o], ms[o])
+        return seq_id, (ph, pb, pe), _sort_rows(mh, mb, me, ms)
 
     def one_contig_events(args):
         """Part B (sparse strand machinery) over a device-event fetch."""
@@ -1215,9 +1365,7 @@ def _build_group(
             np.int32)
         mh, mb, me, ms = _chunk_long_intervals(
             mh, mb, me, ms, window_size)
-        o = np.lexsort((me, mb))
-        return seq_id, (iv_rank, iv_wb, iv_we), (mh[o], mb[o], me[o],
-                                                 ms[o])
+        return seq_id, (iv_rank, iv_wb, iv_we), _sort_rows(mh, mb, me, ms)
 
     def _classify_and_resolve(lut_dev_, uniq_host_, lut_pair_):
         t0 = _time.perf_counter()
@@ -1250,8 +1398,16 @@ def _build_group(
         # device LUT, and hand the caller a closure that first collects
         # the async events copy, then runs pure-host classification on
         # a worker thread while the NEXT group's device phases proceed.
-        uniq_ev = (np.unique(np.concatenate(ev_rank_arrays))
-                   if ev_rank_arrays else np.empty(0, np.int32))
+        if ev_rank_arrays:
+            flat_ev = np.concatenate(ev_rank_arrays)
+            if len(flat_ev):
+                seen_ev = np.zeros(int(flat_ev.max()) + 1, bool)
+                seen_ev[flat_ev] = True
+                uniq_ev = np.flatnonzero(seen_ev)  # = np.unique, O(n)
+            else:
+                uniq_ev = np.empty(0, np.int64)
+        else:
+            uniq_ev = np.empty(0, np.int32)
         if len(uniq_ev):
             npad = _pad_len(len(uniq_ev), lo=1 << 10)
             idxs = np.zeros(npad, np.int32)
