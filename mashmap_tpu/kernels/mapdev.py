@@ -36,6 +36,45 @@ from .sketch import sketch_fragments, UMAX
 NEG = np.int64(-1)
 KEY_PAD = np.int64(0x7FFFFFFFFFFFFFFF)
 
+# Above this table size, searchsorted(method='sort') — which re-sorts
+# table+queries on every call — loses to a bounded binary search: the
+# sort pass scales with the TABLE (a 144M-hash human index would be
+# re-sorted EVERY batch) while the query side stays a few thousand
+# lanes wide, below the wide-gather pathology threshold (CLAUDE.md
+# rule 3 was measured on >~1e6-wide gathers). Tunable for on-chip A/B.
+_SORT_LOOKUP_MAX = int(__import__("os").environ.get(
+    "MASHMAP_TPU_SORT_LOOKUP_MAX", 1 << 23))
+
+
+def searchsorted_auto(table, q):
+    """side='left' searchsorted choosing the lowering by table size.
+
+    Small tables: jnp's method='sort' (one multi-operand sort; measured
+    2-12x over binary search at bench scale on this backend). Large
+    tables: fixed-trip-count binary search — ceil(log2(U)) rounds of
+    narrow gathers; table sizes are grid-quantized so the trip count is
+    compile-cache-stable. Bit-identical results either way.
+    """
+    U = table.shape[0]
+    if U <= _SORT_LOOKUP_MAX:
+        return jnp.searchsorted(table, q, method="sort")
+    # worst-case range hi-lo halves (floor) per round from U; it hits 0
+    # after exactly bit_length(U) rounds (U=2 -> 2 rounds, not 1)
+    rounds = max(1, int(U).bit_length())
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, U, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        v = table[jnp.minimum(mid, U - 1)]
+        go = (v < q) & (lo < hi)
+        return (jnp.where(go, mid + 1, lo),
+                jnp.where(lo < hi, jnp.where(go, hi, mid), hi))
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return lo
+
 
 class L1Config(NamedTuple):
     k: int
@@ -203,10 +242,7 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     q_hash, q_strand, q_cnt, q_cx = sketch_fragments(frags, cfg.k, s)
 
     # --- frequent-seed filter + compaction (order-preserving) ---
-    # method='sort': B*s binary-search gather rounds into the unique-
-    # hash table are the slow op class on this TPU stack
-    pos0 = jnp.searchsorted(uniq_hashes, q_hash,
-                            method="sort")                # (B, s)
+    pos0 = searchsorted_auto(uniq_hashes, q_hash)         # (B, s)
     posc = jnp.minimum(pos0, max(U - 1, 0))
     found = (q_hash != UMAX)
     if U > 0:
@@ -294,12 +330,9 @@ def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
         0, c_first.astype(jnp.int64) - seg_length - 1)
     mid_k = seq64 | jnp.maximum(0, c_first).astype(jnp.int64)
     hi_k = seq64 | (c_last.astype(jnp.int64) + 1)
-    c_lo = jnp.searchsorted(mi_key, lo_k, method="sort").astype(
-        jnp.int32)
-    c_mid = jnp.searchsorted(mi_key, mid_k, method="sort").astype(
-        jnp.int32)
-    c_hi = jnp.searchsorted(mi_key, hi_k, method="sort").astype(
-        jnp.int32)
+    c_lo = searchsorted_auto(mi_key, lo_k).astype(jnp.int32)
+    c_mid = searchsorted_auto(mi_key, mid_k).astype(jnp.int32)
+    c_hi = searchsorted_auto(mi_key, hi_k).astype(jnp.int32)
     return c_lo, c_mid, c_hi
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..kernels import mapdev
 from ..kernels.mapdev import L1Config, sweep_and_candidates
 from ..kernels.sketch import sketch_fragments, UMAX
 
@@ -201,7 +202,7 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         uniq_l = uniq_s[0]
         offs_l = offs_s[0]
         U_s = uniq_l.shape[0]
-        pos0 = jnp.searchsorted(uniq_l, q_hash)           # (B, s)
+        pos0 = mapdev.searchsorted_auto(uniq_l, q_hash)   # (B, s)
         posc = jnp.minimum(pos0, U_s - 1)
         found_l = (q_hash != UMAX) & (uniq_l[posc] == q_hash)
         freq_l = found_l & freq_s[0][posc]
@@ -283,8 +284,7 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         keys3 = jnp.concatenate([lo_k, mid_k, hi_k], axis=1)  # (Bl, 3C)
         keys3 = jax.lax.all_gather(keys3, "data", axis=0, tiled=True)
         slab = mi_key_s[0]
-        pos = (jnp.searchsorted(slab, keys3,
-                                method="sort").astype(jnp.int32)
+        pos = (mapdev.searchsorted_auto(slab, keys3).astype(jnp.int32)
                + mi_row0[0, 0])
         kb_lo = jax.lax.dynamic_slice_in_dim(
             key_bounds, jax.lax.axis_index("data"), 1)[0]

@@ -115,3 +115,54 @@ def test_device_overflow_fallback(tmp_path):
         l1_postings_cap=32, l2_entries_cap=16, l2_batch=8)
     assert len(host) > 0
     assert host == dev
+
+
+def test_searchsorted_auto_binary_matches_sort(monkeypatch):
+    """The large-table binary-search lowering must equal method='sort'
+    (and np.searchsorted) bit-for-bit, including miss/duplicate/edge
+    queries — it activates on human-scale tables where re-sorting the
+    table per batch is prohibitive."""
+    import jax.numpy as jnp
+    from mashmap_tpu.kernels import mapdev
+
+    rng = np.random.default_rng(11)
+    table = np.unique(rng.integers(0, 1 << 62, 5000).astype(np.uint64))
+    q = np.concatenate([
+        rng.choice(table, 300),                    # exact hits
+        rng.integers(0, 1 << 62, 300).astype(np.uint64),  # misses
+        [np.uint64(0), table[0], table[-1],
+         np.uint64((1 << 63) + 5)],                # edges
+    ]).reshape(2, -1)
+    want = np.searchsorted(table, q)
+
+    monkeypatch.setattr(mapdev, "_SORT_LOOKUP_MAX", 1)   # force binary
+    got_bin = np.asarray(mapdev.searchsorted_auto(jnp.asarray(table),
+                                                  jnp.asarray(q)))
+    monkeypatch.setattr(mapdev, "_SORT_LOOKUP_MAX", 1 << 23)
+    got_sort = np.asarray(mapdev.searchsorted_auto(jnp.asarray(table),
+                                                   jnp.asarray(q)))
+    np.testing.assert_array_equal(want, got_bin)
+    np.testing.assert_array_equal(want, got_sort)
+    # tiny tables (the l2 escalation path can hand in short slabs)
+    for U in (1, 2, 3):
+        t2 = table[:U]
+        q2 = np.stack([np.concatenate([[np.uint64(0)], t2,
+                                       [t2[-1] + np.uint64(1)]])])
+        monkeypatch.setattr(mapdev, "_SORT_LOOKUP_MAX", 0)
+        got = np.asarray(mapdev.searchsorted_auto(jnp.asarray(t2),
+                                                  jnp.asarray(q2)))
+        np.testing.assert_array_equal(np.searchsorted(t2, q2), got)
+
+
+def test_device_pipeline_binary_lookup_matches(tmp_path, monkeypatch):
+    """End-to-end: forcing the binary-search lookup (as a human-scale
+    index would) leaves the PAF byte-identical."""
+    monkeypatch.setenv("MASHMAP_TPU_SORT_LOOKUP_MAX", "1")
+    import importlib
+    from mashmap_tpu.kernels import mapdev
+    monkeypatch.setattr(mapdev, "_SORT_LOOKUP_MAX", 1)
+    recs = pangenome(2, 120_000, 0.04, seed=21)
+    qs = [("q1", mutate(recs[0][1][:60_000], 0.05, seed=22))]
+    host, dev = run_both(tmp_path, recs, qs, seg_length=5000,
+                         percentage_identity=0.85)
+    assert host == dev and host

@@ -34,14 +34,21 @@ def brute_votes(h, valid, strand, span):
     return out
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_intervals_match_bruteforce(seed):
+@pytest.mark.parametrize("seed,alphabet", [
+    (0, 60), (1, 60), (2, 60), (3, 60),
+    # alphabet 6 packs many same-hash occurrences into window 0 —
+    # regression for the packed event sort's W=0 clamp-tie ordering
+    # (strand_classify sorts on unclamped positions; ties must process
+    # in ascending occurrence order)
+    (4, 6), (5, 6),
+])
+def test_intervals_match_bruteforce(seed, alphabet):
     rng = np.random.default_rng(seed)
     n_k = 300
     span = 25
     s = 4
     # small universe => heavy duplication, exercises presence dedup
-    h = rng.integers(0, 60, size=n_k).astype(np.uint64)
+    h = rng.integers(0, alphabet, size=n_k).astype(np.uint64)
     valid = rng.random(n_k) > 0.15
     strand = np.where(rng.random(n_k) < 0.5, 1, -1).astype(np.int8)
     n_flush = n_k  # stands in for len-k+1
