@@ -1109,47 +1109,64 @@ class Mapper:
 
         stop = threading.Event()
 
-        def warm():
+        def _compile_jobs():
             import jax
             import jax.numpy as jnp
             from ..kernels.mapdev import l1_step, l2_step
             from ..parallel.sharded_index import L2_T_MAX
             S = jax.ShapeDtypeStruct
+            # mirror _dispatch_batch's padding: full batches land
+            # on the {2^k, 1.5*2^k} grid floored at batch_fragments
+            B = p.batch_fragments
+            g = 1 << max(3, (B - 1).bit_length())
+            if B <= (g * 3) // 4:
+                g = (g * 3) // 4
+            Bp = max(p.batch_fragments, g)
+            L = p.seg_length
+            NC = self._n_contigs_padded
+            a = (S((Bp, L), jnp.uint8),) + tuple(
+                S(x.shape, x.dtype) for x in (
+                    dev["uniq_hashes"], dev["post_offsets"],
+                    dev["post_seqid"], dev["post_wpos"],
+                    dev["post_wend"], dev["is_frequent"],
+                    dev["min_hits_table"], dev["cutoff_table"])) + (
+                S((Bp, NC), jnp.bool_),
+                S(dev["ref_group"].shape, dev["ref_group"].dtype),
+                S(dev["mi_key"].shape, dev["mi_key"].dtype))
+            jobs = [lambda a=a: l1_step.lower(*a, cfg=cfg).compile()]
+            AREA = p.l2_batch * p.l2_entries_cap // 2
+            s = p.sketch_size
+            mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
+                "mi_hash", "mi_wpos", "mi_wend", "mi_strand",
+                "mi_seqid"))
+            for T in (512, 2048, L2_T_MAX):
+                W = max(8, AREA // T)
+                wargs = (S((W,), jnp.int32),) * 4 + (
+                    S((W, s), jnp.uint64), S((W, s), jnp.int8),
+                    S((W,), jnp.int32)) + mi
+                jobs.append(lambda wargs=wargs, T=T:
+                            l2_step.lower(*wargs, t_cap=T, s=s).compile())
+            return jobs
+
+        # MASHMAP_TPU_PREWARM_THREADS > 1 compiles the independent
+        # kernels concurrently — pays off iff the backend's compile
+        # service accepts parallel requests (A/B on the tunnel).
+        n_warm = int(os.environ.get("MASHMAP_TPU_PREWARM_THREADS", "1"))
+
+        def warm():
             try:
-                # mirror _dispatch_batch's padding: full batches land
-                # on the {2^k, 1.5*2^k} grid floored at batch_fragments
-                B = p.batch_fragments
-                g = 1 << max(3, (B - 1).bit_length())
-                if B <= (g * 3) // 4:
-                    g = (g * 3) // 4
-                Bp = max(p.batch_fragments, g)
-                L = p.seg_length
-                NC = self._n_contigs_padded
-                a = (S((Bp, L), jnp.uint8),) + tuple(
-                    S(x.shape, x.dtype) for x in (
-                        dev["uniq_hashes"], dev["post_offsets"],
-                        dev["post_seqid"], dev["post_wpos"],
-                        dev["post_wend"], dev["is_frequent"],
-                        dev["min_hits_table"], dev["cutoff_table"])) + (
-                    S((Bp, NC), jnp.bool_),
-                    S(dev["ref_group"].shape, dev["ref_group"].dtype),
-                    S(dev["mi_key"].shape, dev["mi_key"].dtype))
-                if stop.is_set():
-                    return
-                l1_step.lower(*a, cfg=cfg).compile()
-                AREA = p.l2_batch * p.l2_entries_cap // 2
-                s = p.sketch_size
-                mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
-                    "mi_hash", "mi_wpos", "mi_wend", "mi_strand",
-                    "mi_seqid"))
-                for T in (512, 2048, L2_T_MAX):
-                    if stop.is_set():
-                        return
-                    W = max(8, AREA // T)
-                    wargs = (S((W,), jnp.int32),) * 4 + (
-                        S((W, s), jnp.uint64), S((W, s), jnp.int8),
-                        S((W,), jnp.int32)) + mi
-                    l2_step.lower(*wargs, t_cap=T, s=s).compile()
+                jobs = _compile_jobs()
+                if n_warm > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(max_workers=n_warm) as wex:
+                        fs = [wex.submit(j) for j in jobs]
+                        for f in fs:
+                            f.result()
+                else:
+                    for j in jobs:
+                        if stop.is_set():
+                            return
+                        j()
                 logger.debug("kernel prewarm complete")
             except Exception as e:      # noqa: BLE001 — best-effort
                 logger.debug("kernel prewarm skipped: %s", e)
