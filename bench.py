@@ -102,10 +102,39 @@ def run_reference(fasta: str) -> float:
     return best
 
 
+def probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail loudly (not hang) if the TPU backend is unreachable.
+
+    The tunneled axon client retries backend init forever; during an
+    outage `jax.devices()` never returns and the whole bench would hang
+    past any driver timeout with no diagnostic. Probe in a subprocess
+    with a deadline and exit non-zero with a JSON error line instead.
+    """
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "x = jnp.ones((4,4)); (x@x).block_until_ready(); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0:
+            return
+        err = (r.stderr or "").strip().splitlines()[-1:] or ["?"]
+        reason = f"backend init failed: {err[0]}"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init unreachable after {timeout_s:.0f}s"
+    print(json.dumps({
+        "metric": "pangenome self-map query throughput (1 chip)",
+        "value": 0.0, "unit": "Mbp/s", "vs_baseline": 0.0,
+        "error": reason,
+    }))
+    sys.exit(2)
+
+
 def main():
     fasta = ensure_dataset()
     query_mbp = N_HAP * HAP_LEN / 1e6
 
+    probe_backend()
     ours_s = run_ours(fasta)
     ours_mbps = query_mbp / ours_s
 
