@@ -633,8 +633,14 @@ class ReferenceIndex:
     post_wpos: np.ndarray               # (P,) int32
     post_wend: np.ndarray               # (P,) int32
 
-    # L2 intervals sorted by (seqid, wpos, wend); frequent hashes dropped
-    mi_hash: np.ndarray                 # (M,) uint64
+    # L2 intervals sorted by (seqid, wpos, wend); frequent hashes
+    # dropped. Rows carry the hash's RANK (its position in
+    # uniq_hashes, int32) instead of the u64 hash: u64 is emulated as
+    # 32-bit pairs on this TPU, so the L2 kernel's compare-all cubes
+    # and hash gathers run 2x leaner in the rank domain, the table is
+    # 1 GB smaller at human scale, and rank order == hash order makes
+    # every comparison bit-equivalent (see kernels/mapdev.l2_step).
+    mi_rank: np.ndarray                 # (M,) int32, < len(uniq_hashes)
     mi_seqid: np.ndarray                # (M,) int32
     mi_wpos: np.ndarray                 # (M,) int32
     mi_wend: np.ndarray                 # (M,) int32
@@ -651,6 +657,11 @@ class ReferenceIndex:
     @property
     def n_contigs(self) -> int:
         return len(self.names)
+
+    @property
+    def mi_hash(self) -> np.ndarray:
+        """u64 hashes of the interval rows (derived; rows store ranks)."""
+        return self.uniq_hashes[self.mi_rank]
 
     def is_freq_seed(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized ``Sketch::isFreqSeed`` (winSketch.hpp:506-509)."""
@@ -682,7 +693,7 @@ class ReferenceIndex:
             post_seqid=self.post_seqid,
             post_wpos=self.post_wpos,
             post_wend=self.post_wend,
-            mi_hash=self.mi_hash,
+            mi_rank=self.mi_rank,
             mi_seqid=self.mi_seqid,
             mi_wpos=self.mi_wpos,
             mi_wend=self.mi_wend,
@@ -697,6 +708,15 @@ class ReferenceIndex:
     def load(cls, path: str) -> "ReferenceIndex":
         z = np.load(path, allow_pickle=False)
         meta = z["meta"]
+        if "mi_rank" in z.files:
+            mi_rank = z["mi_rank"]
+        else:
+            # pre-rank-domain npz (stored u64 row hashes): derive ranks
+            # once at load — exact hits by construction
+            logger.info("loadIndex: old-format npz, deriving interval "
+                        "row ranks from u64 hashes (one-time)")
+            mi_rank = np.searchsorted(
+                z["uniq_hashes"], z["mi_hash"]).astype(np.int32)
         return cls(
             names=[str(x) for x in z["names"]],
             lengths=z["lengths"],
@@ -705,7 +725,7 @@ class ReferenceIndex:
             post_seqid=z["post_seqid"],
             post_wpos=z["post_wpos"],
             post_wend=z["post_wend"],
-            mi_hash=z["mi_hash"],
+            mi_rank=mi_rank,
             mi_seqid=z["mi_seqid"],
             mi_wpos=z["mi_wpos"],
             mi_wend=z["mi_wend"],
@@ -773,6 +793,8 @@ def build_index(
     lengths: List[int] = []
     acc_hash, acc_wb, acc_we, acc_seq = [], [], [], []
     acc_mh, acc_mb, acc_me, acc_ms, acc_mseq = [], [], [], [], []
+    acc_mgid: List[int] = []     # owning group of each acc_mh slot array
+    group_vals: List[np.ndarray] = []   # per-group sorted surviving u64s
 
     dev_limit = int(os.environ.get(
         "MASHMAP_TPU_DEVICE_RANK_LIMIT", 256 * 1024 * 1024))
@@ -785,13 +807,17 @@ def build_index(
             f"(must be in (0, 2^30]: event kernels pack group-local "
             f"ranks into shifted int32 lanes)")
 
-    def consume(results):
+    def consume(resolved):
+        results, vals = resolved
+        gid = len(group_vals)
+        group_vals.append(vals)
         for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
             acc_hash.append(ph)
             acc_wb.append(pb)
             acc_we.append(pe)
             acc_seq.append(np.full(len(ph), seq_id, np.int32))
-            acc_mh.append(mh)
+            acc_mh.append(mh)           # SLOTS into group_vals[gid]
+            acc_mgid.append(gid)
             acc_mb.append(mb)
             acc_me.append(me)
             acc_ms.append(ms)
@@ -877,29 +903,37 @@ def build_index(
     freq_threshold = _freq_threshold(sizes, kmer_pct_threshold)
     is_frequent = sizes >= freq_threshold
 
-    mi_hash = _cat(acc_mh, np.uint64)
+    # interval rows: group-local SLOTS -> global ranks (position in
+    # uniq_hashes). One sorted-queries searchsorted per group (the
+    # group's distinct u64s), then O(1) gathers per row — never a
+    # 266M-row u64 join.
+    grank = []
+    for vals in group_vals:
+        gr = np.searchsorted(uniq_hashes, vals).astype(np.int32)
+        if len(gr):
+            assert np.array_equal(uniq_hashes[gr], vals), \
+                "interval hash missing from postings hash table"
+        grank.append(gr)
+    mi_rank = (np.concatenate(
+        [grank[g][sl] for g, sl in zip(acc_mgid, acc_mh)])
+        if acc_mh else np.empty(0, np.int32)).astype(np.int32)
     mi_wpos = _cat(acc_mb, np.int32)
     mi_wend = _cat(acc_me, np.int32)
     mi_strand = _cat(acc_ms, np.int8)
     mi_seqid = _cat(acc_mseq, np.int32)
 
-    # drop frequent seeds from the L2 interval table (winSketch.hpp:497-504):
-    # membership test against the (tiny) frequent set, not a binary
-    # search into all 100M+ hashes — the small sorted array stays in
-    # cache, ~10x on the 266M-row human-scale table
+    # drop frequent seeds from the L2 interval table
+    # (winSketch.hpp:497-504): in the rank domain this is one gather
     if is_frequent.any():
-        freq_h = uniq_hashes[is_frequent]
-        pos = np.minimum(np.searchsorted(freq_h, mi_hash),
-                         len(freq_h) - 1)
-        keep = freq_h[pos] != mi_hash
-        mi_hash, mi_wpos, mi_wend = (mi_hash[keep], mi_wpos[keep],
+        keep = ~is_frequent[mi_rank]
+        mi_rank, mi_wpos, mi_wend = (mi_rank[keep], mi_wpos[keep],
                                      mi_wend[keep])
         mi_strand, mi_seqid = mi_strand[keep], mi_seqid[keep]
 
     logger.info(
         "indexed %d contigs: %d minmer windows, %d unique minmers, "
         "freq threshold %s",
-        len(names), len(mi_hash), len(uniq_hashes),
+        len(names), len(mi_rank), len(uniq_hashes),
         freq_threshold if freq_threshold < np.iinfo(np.int64).max else "inf")
 
     return ReferenceIndex(
@@ -910,7 +944,7 @@ def build_index(
         post_seqid=pseq,
         post_wpos=pb.astype(np.int32),
         post_wend=pe.astype(np.int32),
-        mi_hash=mi_hash,
+        mi_rank=mi_rank,
         mi_seqid=mi_seqid,
         mi_wpos=mi_wpos,
         mi_wend=mi_wend,
@@ -924,29 +958,35 @@ def build_index(
 
 
 def _resolve_group_hashes(results, lut_dev, uniq_host, lut_pair=None):
-    """Map one group's rank-domain outputs back to u64 hashes.
+    """Map one group's rank-domain outputs out of the group-local domain.
 
     Gathers the group LUT only at the DISTINCT ranks that survived into
     postings / minmer rows (the sketch members), so the device fetch is
     one u64 per distinct minmer hash — far smaller than the dense rank
-    arrays. Host arrays are then mapped via searchsorted (exact hits by
-    construction: ranks are dense indices into the sorted LUT).
+    arrays.
+
+    Returns ``(rows, vals)``: postings hashes are resolved to u64 (they
+    feed the global sorted-hash merge), while interval-row hashes stay
+    as SLOTS into ``vals`` (the group's sorted surviving u64 values) —
+    the final assembly maps slots to global ranks with one sorted
+    searchsorted per group instead of a 266M-row u64 join.
 
     ``lut_pair`` = (sorted ranks, u64 values) prefetched to the host —
     used by the overlapped build so the device LUT frees before the
     next group's device phases start.
     """
     if not results:
-        return results
+        return results, np.empty(0, np.uint64)
     rank_arrays = []
     for _, (ph, _, _), (mh, _, _, _) in results:
         rank_arrays.append(ph)
         rank_arrays.append(mh)
     flat = np.concatenate(rank_arrays)
     u64e = np.empty(0, np.uint64)
+    i32e = np.empty(0, np.int32)
     if not len(flat):
-        return [(sid, (u64e, pb, pe), (u64e, mb, me, ms))
-                for sid, (ph, pb, pe), (mh, mb, me, ms) in results]
+        return [(sid, (u64e, pb, pe), (i32e, mb, me, ms))
+                for sid, (ph, pb, pe), (mh, mb, me, ms) in results], u64e
     # distinct ranks via a presence mask over the dense group-local
     # rank domain — O(n), vs np.unique's full sort (~40s at 50M ranks)
     seen = np.zeros(int(flat.max()) + 1, bool)
@@ -975,9 +1015,9 @@ def _resolve_group_hashes(results, lut_dev, uniq_host, lut_pair=None):
     out = []
     for seq_id, (ph, pb, pe), (mh, mb, me, ms) in results:
         ph_u = vals[slot[ph]] if len(ph) else u64e
-        mh_u = vals[slot[mh]] if len(mh) else u64e
-        out.append((seq_id, (ph_u, pb, pe), (mh_u, mb, me, ms)))
-    return out
+        mh_s = slot[mh] if len(mh) else i32e
+        out.append((seq_id, (ph_u, pb, pe), (mh_s, mb, me, ms)))
+    return out, vals
 
 
 def _build_group(

@@ -253,8 +253,17 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
         freq = jnp.zeros_like(found)
     keep = (q_hash != UMAX) & ~freq
     order = jnp.argsort(~keep, axis=1, stable=True)
-    q_hash_c = jnp.take_along_axis(
-        jnp.where(keep, q_hash, UMAX), order, axis=1)
+    # RANK-CODE the sketch for l2: code = (insertion_pos << 1) | found.
+    # Order-isomorphic to the u64 hashes against every interval-row
+    # code (rank << 1) | 1 — present hashes get identical odd codes,
+    # missing hashes land strictly between their sorted neighbors — so
+    # every downstream <, ==, searchsorted outcome is bit-equivalent
+    # while u64 (EMULATED as 32-bit pairs on TPU) leaves the hot path.
+    # Pad/dropped lanes get I32MAX, which is > every real code (ranks
+    # are < 2^30) and matches nothing, like UMAX did.
+    q_code = (pos0.astype(jnp.int32) << 1) | found.astype(jnp.int32)
+    q_code_c = jnp.take_along_axis(
+        jnp.where(keep, q_code, jnp.int32(2**31 - 1)), order, axis=1)
     q_strand_c = jnp.take_along_axis(
         jnp.where(keep, q_strand, 0), order, axis=1)
     s_q = jnp.sum(keep, axis=1).astype(jnp.int32)         # (B,)
@@ -315,7 +324,7 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
         jax.lax.bitcast_convert_type(
             q_cx.astype(jnp.float32), jnp.int32)[:, None],
         c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi], axis=1)
-    return meta, q_hash_c, q_strand_c.astype(jnp.int8)
+    return meta, q_code_c, q_strand_c.astype(jnp.int8)
 
 
 def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
@@ -357,8 +366,8 @@ def unpack_l1_meta(meta: np.ndarray, c_cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("t_cap", "s"))
-def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
-            mi_hash, mi_wpos, mi_wend, mi_strand, mi_seqid,
+def l2_step(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
+            mi_rank, mi_wpos, mi_wend, mi_strand, mi_seqid,
             t_cap: int, s: int):
     """Optimal-plateau runs for a batch of L1 candidates.
 
@@ -366,8 +375,10 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
       w_lo/w_mid/w_hi: (W,) int32 interval-table slice bounds per work item
         (precomputed searchsorted on the host or via device searchsorted).
       w_seq: (W,) candidate reference sequence ids.
-      q_hash/q_strand: (W, s) the owning fragment's compacted sketch.
-      mi_*: the global interval table (device-resident).
+      q_code/q_strand: (W, s) the owning fragment's compacted sketch as
+        int32 rank codes from l1_step ((pos << 1) | found; I32MAX pad) —
+        order-isomorphic to the u64 hashes, half the emulated-u64 cost.
+      mi_*: the global interval table (device-resident); mi_rank int32.
 
     Returns a packed (W, 3 + 3*L2_RUN_CAP) i32 buffer (see
     unpack_l2_runs); the <= L-run merge happens on the host
@@ -393,13 +404,15 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
     W = w_lo.shape[0]
     T = t_cap
     E = 2 * T
-    M_len = mi_hash.shape[0]
+    M_len = mi_rank.shape[0]
     BIG = jnp.int32(np.int32(2 ** 31 - 1))
 
     i_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     gidx = jnp.minimum(w_lo[:, None] + i_idx, max(M_len - 1, 0))
     e_valid = (w_lo[:, None] + i_idx) < w_hi[:, None]
-    hash_a = jnp.where(e_valid, mi_hash[gidx], UMAX)
+    # entry code (rank << 1) | 1: always "present"; pads get I32MAX,
+    # which never equals a query code and sorts above all real codes
+    hash_a = jnp.where(e_valid, (mi_rank[gidx] << 1) | 1, BIG)
     wend_a = jnp.where(e_valid, mi_wend[gidx], BIG)
     strand_a = jnp.where(e_valid, mi_strand[gidx].astype(jnp.int32), 0)
     wpos_a = jnp.where(e_valid, mi_wpos[gidx], BIG)
@@ -416,9 +429,9 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
 
     # sketch bucket of each entry: compare-all against the (W, s) sorted
     # sketch (s is small; dense compares beat binary-search gathers)
-    lt = q_hash[:, None, :] < hash_a[:, :, None]          # (W, T, s)
+    lt = q_code[:, None, :] < hash_a[:, :, None]          # (W, T, s)
     b = jnp.sum(lt, axis=-1).astype(jnp.int32)            # (W, T)
-    eqh = jnp.any(q_hash[:, None, :] == hash_a[:, :, None], axis=-1)
+    eqh = jnp.any(q_code[:, None, :] == hash_a[:, :, None], axis=-1)
     inb = b < s
     match = eqh & e_valid
     non = inb & ~eqh & e_valid

@@ -562,7 +562,7 @@ class Mapper:
             from ..index.builder import _grid_len
             U = _grid_len(len(idx.uniq_hashes), lo=1024)
             Pn = _grid_len(len(idx.post_seqid), lo=1024)
-            M = _grid_len(len(idx.mi_hash), lo=1024)
+            M = _grid_len(len(idx.mi_rank), lo=1024)
             po = padded(idx.post_offsets.astype(np.int32), U + 1,
                         np.int32(len(idx.post_seqid)))
             # mi_key pads must sort AFTER every real key (searchsorted
@@ -589,8 +589,10 @@ class Mapper:
                 "post_wpos": put(padded(idx.post_wpos, Pn, np.int32(0))),
                 "post_wend": put(padded(idx.post_wend, Pn, np.int32(0))),
                 "is_frequent": put(padded(idx.is_frequent, U, False)),
-                "mi_hash": put(padded(
-                    idx.mi_hash, M, np.uint64(0xFFFFFFFFFFFFFFFF))),
+                # rank domain (int32): u64 is emulated on this TPU, so
+                # the L2 compare cubes/gathers halve; pad rows are
+                # masked by e_valid in the kernel, value irrelevant
+                "mi_rank": put(padded(idx.mi_rank, M, np.int32(0))),
                 "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
                 "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
                 "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
@@ -873,7 +875,7 @@ class Mapper:
                         *(jax.device_put(a, shp) for a in
                           (w_lo, w_mid, w_hi, w_seq)),
                         qh, qs, jax.device_put(sqv, shp),
-                        si.mi_hash, si.mi_wpos, si.mi_wend,
+                        si.mi_rank, si.mi_wpos, si.mi_wend,
                         si.mi_strand, si.mi_seqid, T, p.sketch_size,
                         self._mesh)
                     pending.append((chunk, buf.reshape(n_sh * Wp, -1)))
@@ -910,7 +912,7 @@ class Mapper:
                         (w_lo, w_mid, w_hi, w_seq)) + (qh, qs,
                                                        jnp.asarray(sqv))
                 buf = l2_step(*args,
-                              dev["mi_hash"], dev["mi_wpos"],
+                              dev["mi_rank"], dev["mi_wpos"],
                               dev["mi_wend"], dev["mi_strand"],
                               dev["mi_seqid"], T, p.sketch_size)
                 pending.append((chunk, buf))
@@ -1034,7 +1036,8 @@ class Mapper:
                 if (_i, j) in host_l2_set:
                     return l2_mod.l2_mapped_regions(
                         self.idx, self.mi_key, _h, _s, c.seq_id,
-                        c.range_start, c.range_end, p.seg_length, 0)
+                        c.range_start, c.range_end, p.seg_length, 0,
+                        q_are_codes=True)
                 return loci_by.get((_i, j), [])
 
             if p.skip_prefix:
@@ -1137,7 +1140,7 @@ class Mapper:
             AREA = p.l2_batch * p.l2_entries_cap // 2
             s = p.sketch_size
             mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
-                "mi_hash", "mi_wpos", "mi_wend", "mi_strand",
+                "mi_rank", "mi_wpos", "mi_wend", "mi_strand",
                 "mi_seqid"))
             for T in (512, 2048, L2_T_MAX):
                 W = max(8, AREA // T)

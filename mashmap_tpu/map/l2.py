@@ -156,8 +156,17 @@ def l2_mapped_regions(
     range_end: int,
     seg_length: int,
     window_len: int,
+    q_are_codes: bool = False,
 ) -> List[L2Locus]:
-    """All optimal-plateau loci of one L1 candidate (computeMap.hpp:1275-1451)."""
+    """All optimal-plateau loci of one L1 candidate (computeMap.hpp:1275-1451).
+
+    Comparisons run in the rank-code domain ((rank << 1) | 1 for index
+    rows, (insertion_pos << 1) | found for the query sketch) — order-
+    isomorphic to the u64 hashes, matching the device kernel exactly.
+    ``q_are_codes=True`` means ``q_hashes`` already holds l1_step's
+    int32 codes (device host-replay path); otherwise they are raw u64
+    sketch hashes and are coded here.
+    """
     # reference searches from rangeStart - segLength - 1
     # (computeMap.hpp:1290-1293); negatives clamp to 0 since wpos >= 0
     lo = int(np.searchsorted(
@@ -172,13 +181,24 @@ def l2_mapped_regions(
     if T_m <= 0:
         return []
 
-    hash_a = index.mi_hash[lo:hi]
+    hash_a = (index.mi_rank[lo:hi].astype(np.int64) << 1) | 1
     wend_a = index.mi_wend[lo:hi]
     strand_a = index.mi_strand[lo:hi].astype(np.int32)
     wpos_main = index.mi_wpos[mid:hi].astype(np.int64)
 
+    if q_are_codes:
+        q_cmp = np.asarray(q_hashes).astype(np.int64)
+    else:
+        U = len(index.uniq_hashes)
+        pos = np.searchsorted(index.uniq_hashes, q_hashes)
+        if U:
+            found = index.uniq_hashes[np.minimum(pos, U - 1)] == q_hashes
+        else:
+            found = np.zeros(len(q_hashes), bool)
+        q_cmp = (pos.astype(np.int64) << 1) | found
+
     shared, votes = shared_sketch_trajectory(
-        hash_a, wend_a, wpos_main, mid - lo, q_hashes, q_strand, strand_a,
+        hash_a, wend_a, wpos_main, mid - lo, q_cmp, q_strand, strand_a,
         window_len)
     if len(shared) == 0:
         return []

@@ -62,7 +62,7 @@ def device_put_index(index, mesh: Mesh):
         "mi_key": jax.device_put(
             jnp.asarray((index.mi_seqid.astype(np.int64) << 32)
                         | index.mi_wpos.astype(np.int64)), rep),
-        "mi_hash": jax.device_put(jnp.asarray(index.mi_hash), rep),
+        "mi_rank": jax.device_put(jnp.asarray(index.mi_rank), rep),
         "mi_wpos": jax.device_put(jnp.asarray(index.mi_wpos), rep),
         "mi_wend": jax.device_put(jnp.asarray(index.mi_wend), rep),
         "mi_strand": jax.device_put(jnp.asarray(index.mi_strand), rep),

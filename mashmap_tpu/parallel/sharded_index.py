@@ -59,7 +59,7 @@ class ShardedIndex(NamedTuple):
     mi_bounds: np.ndarray     # (n+1,) host: global row range per shard
     mi_row0: jax.Array        # (n, 1) i32 replicated-by-row global start
     key_bounds: jax.Array     # (n+1,) i64 replicated: owned key ranges
-    mi_hash: jax.Array        # (n, m_shard) u64
+    mi_rank: jax.Array        # (n, m_shard) i32 rank codes' domain
     mi_wpos: jax.Array        # (n, m_shard) i32
     mi_wend: jax.Array        # (n, m_shard) i32
     mi_strand: jax.Array      # (n, m_shard) i8
@@ -126,7 +126,7 @@ def build_sharded_index(idx, mesh: Mesh,
     m_shard = max(1, max(
         min(bounds[d + 1] + halo, M) - bounds[d] for d in range(n)))
 
-    mh = np.full((n, m_shard), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    mh = np.zeros((n, m_shard), np.int32)   # pads masked by e_valid
     mwp = np.zeros((n, m_shard), np.int32)
     mwe = np.zeros((n, m_shard), np.int32)
     mst = np.zeros((n, m_shard), np.int8)
@@ -138,7 +138,7 @@ def build_sharded_index(idx, mesh: Mesh,
     for d in range(n):
         lo, hi = bounds[d], min(bounds[d + 1] + halo, M)
         m = hi - lo
-        mh[d, :m] = idx.mi_hash[lo:hi]
+        mh[d, :m] = idx.mi_rank[lo:hi]
         mwp[d, :m] = idx.mi_wpos[lo:hi]
         mwe[d, :m] = idx.mi_wend[lo:hi]
         mst[d, :m] = idx.mi_strand[lo:hi]
@@ -165,7 +165,7 @@ def build_sharded_index(idx, mesh: Mesh,
         mi_bounds=mi_bounds,
         mi_row0=jax.device_put(row0, sh),
         key_bounds=jax.device_put(kb, rep),
-        mi_hash=jax.device_put(mh, sh),
+        mi_rank=jax.device_put(mh, sh),
         mi_wpos=jax.device_put(mwp, sh),
         mi_wend=jax.device_put(mwe, sh),
         mi_strand=jax.device_put(mst, sh),
@@ -210,8 +210,15 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
         freq_g = jax.lax.psum(freq_l.astype(jnp.int32), "data") > 0
         keep = (q_hash != UMAX) & ~freq_g
         order = jnp.argsort(~keep, axis=1, stable=True)
-        q_hash_c = jnp.take_along_axis(
-            jnp.where(keep, q_hash, UMAX), order, axis=1)
+        # global insertion position: shards hold contiguous ranges of
+        # the sorted hash table, so counts-below sum across shards
+        # (pads are UMAX and never counted for real queries); the rank
+        # code then matches the replicated l1_step bit-for-bit
+        pos_g = jax.lax.psum(pos0, "data")
+        found_g = jax.lax.psum(found_l.astype(jnp.int32), "data") > 0
+        q_code = (pos_g.astype(jnp.int32) << 1) | found_g.astype(jnp.int32)
+        q_code_c = jnp.take_along_axis(
+            jnp.where(keep, q_code, jnp.int32(2**31 - 1)), order, axis=1)
         q_strand_c = jnp.take_along_axis(
             jnp.where(keep, q_strand, 0), order, axis=1)
         s_q = jnp.sum(keep, axis=1).astype(jnp.int32)
@@ -304,7 +311,7 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
             c_seq, c_first, c_last, c_inter, c_lo, c_mid, c_hi], axis=1)
         # sketches are derived from replicated inputs, so every shard
         # already holds the full (B, s) arrays — return them unsharded
-        return meta, q_hash_c, q_strand_c.astype(jnp.int8)
+        return meta, q_code_c, q_strand_c.astype(jnp.int8)
 
     return shard_map(
         body, mesh=mesh,
@@ -319,8 +326,8 @@ def l1_step_sharded(frags, sidx_uniq, sidx_offs, sidx_seqid, sidx_wpos,
 
 
 @functools.partial(jax.jit, static_argnames=("t_cap", "s", "mesh"))
-def l2_step_sharded(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
-                    mi_hash_s, mi_wpos_s, mi_wend_s, mi_strand_s,
+def l2_step_sharded(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
+                    mi_rank_s, mi_wpos_s, mi_wend_s, mi_strand_s,
                     mi_seqid_s, t_cap: int, s: int, mesh: Mesh):
     """l2_step over the contig-range-sharded interval table.
 
@@ -344,5 +351,5 @@ def l2_step_sharded(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
         in_specs=(P("data"),) * 12,
         out_specs=P("data"),
         check_rep=False,
-    )(w_lo, w_mid, w_hi, w_seq, q_hash, q_strand, s_q,
-      mi_hash_s, mi_wpos_s, mi_wend_s, mi_strand_s, mi_seqid_s)
+    )(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
+      mi_rank_s, mi_wpos_s, mi_wend_s, mi_strand_s, mi_seqid_s)

@@ -63,7 +63,7 @@ def build_phase():
         "metric": "3 Gbp reference index BUILD (1 chip)",
         "value": round(dt, 1), "unit": "s",
         "minmers": int(len(idx.uniq_hashes)),
-        "interval_rows": int(len(idx.mi_hash)),
+        "interval_rows": int(len(idx.mi_rank)),
         "k": idx.kmer_size, "w": idx.window_size,
         "s": idx.sketch_size,
     }), flush=True)

@@ -106,14 +106,14 @@ qh = np.stack([a["q_hash"][i] for i, *_ in work])
 qs = np.stack([a["q_strand"][i] for i, *_ in work]).astype(np.int8)
 sqv = np.array([int(a["s_q"][i]) for i, *_ in work], np.int32)
 
-Mpad = 1 << (len(idx.mi_hash) - 1).bit_length()
+Mpad = 1 << (len(idx.mi_rank) - 1).bit_length()
 def pad1(x, fill):
     out = np.full(Mpad, fill, x.dtype); out[:len(x)] = x; return out
 ref_buf = l2_step(
     jnp.asarray(w_lo), jnp.asarray(w_mid), jnp.asarray(w_hi),
     jnp.asarray(w_seq), jnp.asarray(qh), jnp.asarray(qs),
     jnp.asarray(sqv),
-    jnp.asarray(pad1(idx.mi_hash, np.uint64(0xFFFFFFFFFFFFFFFF))),
+    jnp.asarray(pad1(idx.mi_rank, np.int32(0))),
     jnp.asarray(pad1(idx.mi_wpos, np.int32(0))),
     jnp.asarray(pad1(idx.mi_wend, np.int32(0))),
     jnp.asarray(pad1(idx.mi_strand, np.int8(0))),
@@ -124,7 +124,7 @@ bnds = sidx.mi_bounds
 Wp = W
 s_lo = np.zeros((n_sh, Wp), np.int32); s_mid = np.zeros((n_sh, Wp), np.int32)
 s_hi = np.zeros((n_sh, Wp), np.int32); s_seq = np.zeros((n_sh, Wp), np.int32)
-s_qh = np.full((n_sh, Wp, s), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+s_qh = np.full((n_sh, Wp, s), np.int32(2**31 - 1), np.int32)
 s_qs = np.zeros((n_sh, Wp, s), np.int8); s_sq = np.ones((n_sh, Wp), np.int32)
 slot_of = dict()
 fill = [0] * n_sh
@@ -140,7 +140,7 @@ shp = NamedSharding(mesh, PartitionSpec("data"))
 sh_buf = l2_step_sharded(
     *(jax.device_put(x, shp) for x in
       (s_lo, s_mid, s_hi, s_seq, s_qh, s_qs, s_sq)),
-    sidx.mi_hash, sidx.mi_wpos, sidx.mi_wend, sidx.mi_strand,
+    sidx.mi_rank, sidx.mi_wpos, sidx.mi_wend, sidx.mi_strand,
     sidx.mi_seqid, T, s, mesh)
 sh_flat = np.asarray(sh_buf).reshape(n_sh * Wp, -1)
 ref_np = np.asarray(ref_buf)
@@ -162,7 +162,7 @@ mapper = Mapper(prm, idx)
 dev = mapper._device_tables()
 assert mapper._sharded_idx is not None
 big = set(["uniq_hashes", "post_offsets", "post_seqid", "post_wpos",
-           "post_wend", "is_frequent", "mi_hash", "mi_wpos", "mi_wend",
+           "post_wend", "is_frequent", "mi_rank", "mi_wpos", "mi_wend",
            "mi_strand", "mi_seqid", "mi_key"])
 assert not (big & set(dev)), sorted(big & set(dev))
 
