@@ -216,7 +216,7 @@ def sweep_and_candidates(g_seq, g_wp, g_we, valid_j, s_q, min_hits,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
             post_wend, is_frequent, min_hits_table, cutoff_table,
-            allowed, ref_group, mi_key, cfg: L1Config):
+            allowed, ref_group, mi_seqid_t, mi_wpos_t, cfg: L1Config):
     """Fragment batch -> sketches + L1 candidate regions.
 
     Args:
@@ -227,9 +227,10 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
       allowed: (B, n_contigs) bool — per-fragment admissible reference
         sequences (skip_self / skip_prefix / lower_triangular masks,
         computeMap.hpp:887-894).
-      mi_key: (M,) int64 packed (seqid << 32 | wpos) interval-table sort
-        keys — the l1->l2 slice bounds (searchsorted) run here so the
-        host never touches the big key array.
+      mi_seqid_t/mi_wpos_t: the interval table's seqid/wpos columns
+        (same device arrays l2_step uses) — the l1->l2 slice bounds
+        run here on SYNTHESIZED (seqid << 32 | wpos) keys, so neither
+        host nor HBM ever holds a materialized key table.
       cfg: static shape configuration.
 
     Returns dict of per-fragment sketches, candidates, and overflow flags.
@@ -309,7 +310,7 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
         cutoff_table, cfg)
 
     c_lo, c_mid, c_hi = l2_slice_bounds(
-        mi_key, c_seq, c_first, c_last, cfg.seg_length)
+        mi_seqid_t, mi_wpos_t, c_seq, c_first, c_last, cfg.seg_length)
 
     # pack the small per-fragment outputs into ONE (B, 4+7C) i32
     # buffer: on tunneled TPU backends every device->host array fetch
@@ -327,22 +328,56 @@ def l1_step(frags, uniq_hashes, post_offsets, post_seqid, post_wpos,
     return meta, q_code_c, q_strand_c.astype(jnp.int8)
 
 
-def l2_slice_bounds(mi_key, c_seq, c_first, c_last, seg_length: int):
+def l2_slice_bounds(mi_seqid, mi_wpos, c_seq, c_first, c_last,
+                    seg_length: int):
     """Interval-table slice bounds per L1 candidate (device searchsorted).
 
     Replaces the host's per-candidate np.searchsorted over the packed
     (seqid << 32 | wpos) key array (computeL2MappedRegions's
-    minmerIndex range lookup, computeMap.hpp:1283-1294).
+    minmerIndex range lookup, computeMap.hpp:1283-1294). The packed key
+    is SYNTHESIZED from the (already-resident) seqid/wpos columns at
+    probe time — no materialized (M,) int64 key table (2.1 GB of HBM at
+    human scale). Requires table pads with seqid = 2^31-1 so pad keys
+    sort after every real key.
     """
     seq64 = c_seq.astype(jnp.int64) << 32
     lo_k = seq64 | jnp.maximum(
         0, c_first.astype(jnp.int64) - seg_length - 1)
     mid_k = seq64 | jnp.maximum(0, c_first).astype(jnp.int64)
     hi_k = seq64 | (c_last.astype(jnp.int64) + 1)
-    c_lo = searchsorted_auto(mi_key, lo_k).astype(jnp.int32)
-    c_mid = searchsorted_auto(mi_key, mid_k).astype(jnp.int32)
-    c_hi = searchsorted_auto(mi_key, hi_k).astype(jnp.int32)
-    return c_lo, c_mid, c_hi
+    M = mi_seqid.shape[0]
+
+    def key_at(idx):
+        return ((mi_seqid[idx].astype(jnp.int64) << 32)
+                | mi_wpos[idx].astype(jnp.int64))
+
+    if M <= _SORT_LOOKUP_MAX:
+        mi_key = key_at(jnp.arange(M, dtype=jnp.int32)) if M else \
+            jnp.zeros((0,), jnp.int64)
+        c_lo = jnp.searchsorted(mi_key, lo_k, method="sort")
+        c_mid = jnp.searchsorted(mi_key, mid_k, method="sort")
+        c_hi = jnp.searchsorted(mi_key, hi_k, method="sort")
+        return (c_lo.astype(jnp.int32), c_mid.astype(jnp.int32),
+                c_hi.astype(jnp.int32))
+
+    rounds = max(1, int(M).bit_length())
+
+    def search(q):
+        lo = jnp.zeros(q.shape, jnp.int32)
+        hi = jnp.full(q.shape, M, jnp.int32)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) >> 1
+            v = key_at(jnp.minimum(mid, M - 1))
+            go = (v < q) & (lo < hi)
+            return (jnp.where(go, mid + 1, lo),
+                    jnp.where(lo < hi, jnp.where(go, hi, mid), hi))
+
+        lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+        return lo
+
+    return search(lo_k), search(mid_k), search(hi_k)
 
 
 def unpack_l1_meta(meta: np.ndarray, c_cap: int):

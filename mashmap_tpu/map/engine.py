@@ -116,7 +116,7 @@ class Mapper:
     def __init__(self, params: Parameters, index: ReferenceIndex):
         self.p = params
         self.idx = index
-        self.mi_key = l2_mod.pack_mi_key(index.mi_seqid, index.mi_wpos)
+        self._mi_key = None     # lazy: 2.1 GB host RAM at human scale
         self.table_scale = max(
             1.0, params.sketch_size / FIXED.ss_table_max)
         if params.stage1_topANI_filter:
@@ -141,6 +141,19 @@ class Mapper:
         # device-path observability: which escalation/fallback paths ran
         self.path_stats = {"host_frags": 0, "host_l2": 0,
                            "l2_buckets": {}}
+
+    @property
+    def mi_key(self) -> np.ndarray:
+        """Packed (seqid << 32 | wpos) interval sort keys, host-side.
+
+        Only host paths need it (host L2 fallback/replay and the
+        HOST_SLICE_BOUNDS escape hatch); the device kernels synthesize
+        probe keys from the seqid/wpos columns instead, so this 2.1 GB
+        (at human scale) array materializes lazily."""
+        if self._mi_key is None:
+            self._mi_key = l2_mod.pack_mi_key(
+                self.idx.mi_seqid, self.idx.mi_wpos)
+        return self._mi_key
 
     # --- prefix grouping (computeMap.hpp:144-177) ---
     @staticmethod
@@ -565,21 +578,18 @@ class Mapper:
             M = _grid_len(len(idx.mi_rank), lo=1024)
             po = padded(idx.post_offsets.astype(np.int32), U + 1,
                         np.int32(len(idx.post_seqid)))
-            # mi_key pads must sort AFTER every real key (searchsorted
-            # bounds must never land inside the pad region)
-            mi_key_pad = padded(self.mi_key, M,
-                                np.int64(0x7FFFFFFFFFFFFFFF))
-            # HBM relief valve for indexes near the chip's capacity:
-            # keep the packed int64 key array (2.1GB at human scale) on
-            # the HOST and redo the slice-bounds searchsorted there
-            # after the l1 fetch (the kernel's device bounds are then
-            # ignored). ~35k np.searchsorted lookups/batch: negligible.
+            # No materialized mi_key on device: the l1 kernel
+            # synthesizes (seqid << 32 | wpos) probe keys from the
+            # seqid/wpos columns it already holds (mapdev.
+            # l2_slice_bounds) — 2.1 GB of HBM back at human scale.
+            # The HOST_SLICE_BOUNDS escape hatch (bounds via
+            # np.searchsorted on the host after the l1 fetch) remains
+            # for A/B: ~35k lookups/batch, negligible.
             import os as _os
             self._mi_key_host = None
             if _os.environ.get("MASHMAP_TPU_HOST_SLICE_BOUNDS") == "1":
-                self._mi_key_host = mi_key_pad
-                mi_key_pad = np.full(
-                    8, 0x7FFFFFFFFFFFFFFF, np.int64)
+                self._mi_key_host = padded(
+                    self.mi_key, M, np.int64(0x7FFFFFFFFFFFFFFF))
             self._dev.update({
                 "uniq_hashes": put(padded(
                     idx.uniq_hashes, U, np.uint64(0xFFFFFFFFFFFFFFFF))),
@@ -596,8 +606,10 @@ class Mapper:
                 "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
                 "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
                 "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
-                "mi_seqid": put(padded(idx.mi_seqid, M, np.int32(-1))),
-                "mi_key": put(mi_key_pad),
+                # pad seqid = INT32_MAX: synthesized pad keys must sort
+                # after every real (seqid << 32 | wpos) key
+                "mi_seqid": put(padded(idx.mi_seqid, M,
+                                       np.int32(2**31 - 1))),
             })
         return self._dev
 
@@ -718,7 +730,7 @@ class Mapper:
                 dev["is_frequent"], dev["min_hits_table"],
                 dev["cutoff_table"],
                 self._put_batch(allowedp), dev["ref_group"],
-                dev["mi_key"], cfg)
+                dev["mi_seqid"], dev["mi_wpos"], cfg)
         _start_host_copy(out)
         _mark("l1-dispatch")
         return _Batch(frags=frags, mat=mat, out=out,
@@ -1135,7 +1147,8 @@ class Mapper:
                     dev["min_hits_table"], dev["cutoff_table"])) + (
                 S((Bp, NC), jnp.bool_),
                 S(dev["ref_group"].shape, dev["ref_group"].dtype),
-                S(dev["mi_key"].shape, dev["mi_key"].dtype))
+                S(dev["mi_seqid"].shape, dev["mi_seqid"].dtype),
+                S(dev["mi_wpos"].shape, dev["mi_wpos"].dtype))
             jobs = [lambda a=a: l1_step.lower(*a, cfg=cfg).compile()]
             AREA = p.l2_batch * p.l2_entries_cap // 2
             s = p.sketch_size

@@ -59,9 +59,8 @@ def device_put_index(index, mesh: Mesh):
         "post_wpos": jax.device_put(jnp.asarray(index.post_wpos), rep),
         "post_wend": jax.device_put(jnp.asarray(index.post_wend), rep),
         "is_frequent": jax.device_put(jnp.asarray(index.is_frequent), rep),
-        "mi_key": jax.device_put(
-            jnp.asarray((index.mi_seqid.astype(np.int64) << 32)
-                        | index.mi_wpos.astype(np.int64)), rep),
+        # no mi_key: the kernels synthesize (seqid << 32 | wpos) probe
+        # keys from the columns below (mapdev.l2_slice_bounds)
         "mi_rank": jax.device_put(jnp.asarray(index.mi_rank), rep),
         "mi_wpos": jax.device_put(jnp.asarray(index.mi_wpos), rep),
         "mi_wend": jax.device_put(jnp.asarray(index.mi_wend), rep),

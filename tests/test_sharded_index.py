@@ -51,8 +51,8 @@ cfg = L1Config(k=k, s=s, seg_length=w, p_cap=512, c_cap=8, t_cap=128,
                table_scale=1.0, n_groups=8)
 allowed = np.ones((B, idx.n_contigs), bool)
 groups = np.zeros(idx.n_contigs, np.int32)
-mi_key = jnp.asarray((idx.mi_seqid.astype(np.int64) << 32)
-                     | idx.mi_wpos.astype(np.int64))
+mi_seqid_t = jnp.asarray(idx.mi_seqid)
+mi_wpos_t = jnp.asarray(idx.mi_wpos)
 
 rep, rep_qh, rep_qs = l1_step(
     jnp.asarray(frags), jnp.asarray(idx.uniq_hashes),
@@ -60,7 +60,7 @@ rep, rep_qh, rep_qs = l1_step(
     jnp.asarray(idx.post_seqid), jnp.asarray(idx.post_wpos),
     jnp.asarray(idx.post_wend), jnp.asarray(idx.is_frequent),
     jnp.asarray(mh), jnp.asarray(ct), jnp.asarray(allowed),
-    jnp.asarray(groups), mi_key, cfg)
+    jnp.asarray(groups), mi_seqid_t, mi_wpos_t, cfg)
 
 mesh = make_mesh(8)
 sidx = build_sharded_index(idx, mesh)
