@@ -33,10 +33,15 @@ logging.basicConfig(format="%(asctime)s %(name)s %(message)s")
 logging.getLogger("mashmap_tpu").setLevel(logging.DEBUG)
 
 DATA = os.path.join(HERE, "data", "generated")
-REF_FA = os.path.join(DATA, "hg3g.fa")
-ASM_FA = os.path.join(DATA, "hg3g_asm.fa")
-IDX = os.path.join(DATA, "hg3g.idx.npz")
-OUT = os.path.join(DATA, "flagship_ours.paf")
+# env overrides: smoke-test the exact script at reduced scale
+REF_FA = os.environ.get("MASHMAP_TPU_FLAGSHIP_REF",
+                        os.path.join(DATA, "hg3g.fa"))
+ASM_FA = os.environ.get("MASHMAP_TPU_FLAGSHIP_ASM",
+                        os.path.join(DATA, "hg3g_asm.fa"))
+IDX = os.environ.get("MASHMAP_TPU_FLAGSHIP_IDX",
+                     os.path.join(DATA, "hg3g.idx.npz"))
+OUT = os.environ.get("MASHMAP_TPU_FLAGSHIP_OUT",
+                     os.path.join(DATA, "flagship_ours.paf"))
 
 
 def idx_ok() -> bool:
