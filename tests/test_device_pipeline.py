@@ -166,3 +166,34 @@ def test_device_pipeline_binary_lookup_matches(tmp_path, monkeypatch):
     host, dev = run_both(tmp_path, recs, qs, seg_length=5000,
                          percentage_identity=0.85)
     assert host == dev and host
+
+
+def test_rank_code_order_isomorphism():
+    """The int32 code domain ((rank<<1)|1 for table entries,
+    (insertion_pos<<1)|found for queries) must reproduce EVERY u64
+    <, ==, > outcome between query sketch hashes and interval-row
+    hashes — the property all rank-domain L2 comparisons rest on."""
+    rng = np.random.default_rng(3)
+    table = np.unique(rng.integers(0, 1 << 63, 4000).astype(np.uint64))
+    q = np.concatenate([
+        rng.choice(table, 500),                       # present
+        rng.integers(0, 1 << 63, 500).astype(np.uint64),  # mostly missing
+        [np.uint64(0), table[0], table[-1]],
+    ])
+    pos = np.searchsorted(table, q)
+    found = table[np.minimum(pos, len(table) - 1)] == q
+    q_code = (pos.astype(np.int64) << 1) | found
+    t_code = (np.arange(len(table), dtype=np.int64) << 1) | 1
+
+    lt_u64 = q[:, None] < table[None, :]
+    eq_u64 = q[:, None] == table[None, :]
+    lt_code = q_code[:, None] < t_code[None, :]
+    eq_code = q_code[:, None] == t_code[None, :]
+    np.testing.assert_array_equal(lt_u64, lt_code)
+    np.testing.assert_array_equal(eq_u64, eq_code)
+    # searchsorted outcomes both directions (l2.py searches entries
+    # into the query sketch; the kernel counts sketch-below-entry)
+    qs = np.sort(q_code)
+    qs_u = np.sort(q)
+    np.testing.assert_array_equal(
+        np.searchsorted(qs_u, table), np.searchsorted(qs, t_code))
