@@ -1231,21 +1231,39 @@ def _build_group(
         # host then slices each buffer segment to its live prefix
         # (pow2-rounded => few XLA shapes) and phase B fetches only
         # real data in one transfer.
-        if bufs:
+        #
+        # EXCEPT for small groups: below MASHMAP_TPU_EVENTS_WHOLE_FETCH
+        # total cap-padded int32s (default 2^21 = 8 MB) the padding
+        # bytes cost less than the extra ~300ms count round trip, so
+        # ONE whole fetch replaces both phases — and its copies start
+        # right behind the events kernels, so the bytes travel while
+        # later contigs are still computing.
+        whole_max = int(os.environ.get(
+            "MASHMAP_TPU_EVENTS_WHOLE_FETCH", str(1 << 21)))
+        cap_ints = sum(4 * m[5] + 2 * m[6] + 4 for m in meta_ev)
+        whole_fetch = bool(bufs) and cap_ints <= whole_max
+        if whole_fetch:
+            for b in bufs:
+                _start_host_copy(b)
+            wholes = jax.device_get(bufs)
+            tails = np.concatenate([w[-4:] for w in wholes])
+            _mark("events+whole-fetch")
+        elif bufs:
             tails = jax.device_get(
                 jnp.concatenate([b[-4:] for b in bufs]))
+            _mark("events+counts")
         else:
             tails = np.empty(0, np.int32)
-        _mark("events+counts")
+            _mark("events+counts")
 
         def _ceil2(x, lo=256):
             return max(lo, 1 << (int(x) - 1).bit_length()) if x else lo
 
         per_contig, thetas = [], []   # (host path only)
         sized, pieces = [], []
+        lane_rows = []   # whole-fetch: (i, seq_id, n, n_w, 6 live lanes)
         for bi, m in enumerate(meta_ev):
             kind, i, seq_id, n, n_w, cap1, mem_cap = m
-            b = bufs[bi]
             n_bg, n_en, n_mem, ovf = (int(tails[4 * bi]),
                                       int(tails[4 * bi + 1]),
                                       int(tails[4 * bi + 2]),
@@ -1259,6 +1277,16 @@ def _build_group(
                 return _build_group(group, kmer_size, window_size,
                                     sketch_size, threads, dev_limit,
                                     force_host=True)
+            if whole_fetch:
+                w = wholes[bi]
+                lane_rows.append((i, seq_id, n, n_w, (
+                    w[0:n_bg], w[cap1:cap1 + n_bg],
+                    w[2 * cap1:2 * cap1 + n_en],
+                    w[3 * cap1:3 * cap1 + n_en],
+                    w[4 * cap1:4 * cap1 + n_mem],
+                    w[4 * cap1 + mem_cap:4 * cap1 + mem_cap + n_mem])))
+                continue
+            b = bufs[bi]
             e_b, e_m = _ceil2(max(n_bg, n_en)), _ceil2(n_mem)
             pieces += [b[0:e_b], b[cap1:cap1 + e_b],
                        b[2 * cap1:2 * cap1 + e_b],
@@ -1269,29 +1297,18 @@ def _build_group(
             sized.append((i, seq_id, n, n_w, e_b, e_m,
                           n_bg, n_en, n_mem))
 
-        def _unpack_events(all_buf):
-            """Sized fetch -> per-contig sparse event arrays (host)."""
+        def _events_from_rows(rows):
+            """Live event lanes -> per-contig sparse event arrays: one
+            contig's chunks concatenate (chunk emission order is
+            position order), then begins/ends pair globally."""
             ev = []                   # (seq_id, n, n_w, unpacked)
             chunk_acc = {}            # i -> [bh, bW, eh, eW, mrk, mpos]
             chunk_info = {}
-            off = 0
-            for (i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
-                seg = all_buf[off:off + 4 * e1].reshape(4, e1)
-                mm = all_buf[off + 4 * e1:
-                             off + 4 * e1 + 2 * e2].reshape(2, e2)
-                off += 4 * e1 + 2 * e2
+            for (i, seq_id, n, n_w, lanes) in rows:
                 acc = chunk_acc.setdefault(i, [[], [], [], [], [], []])
-                acc[0].append(seg[0, :na])
-                acc[1].append(seg[1, :na])
-                acc[2].append(seg[2, :nb])
-                acc[3].append(seg[3, :nb])
-                acc[4].append(mm[0, :nm])
-                acc[5].append(mm[1, :nm])
+                for a, lane in zip(acc, lanes):
+                    a.append(lane)
                 chunk_info[i] = (seq_id, n, n_w)
-            # cheap integrity check: a silently-clamped slice upstream
-            # would desynchronize the offset walk (events_caps rounding)
-            assert off == len(all_buf), \
-                f"events fetch misaligned: consumed {off} of {len(all_buf)}"
             for i, acc in chunk_acc.items():
                 seq_id, n, n_w = chunk_info[i]
                 bh, bW, eh, eW, mrk, mpos = (np.concatenate(a)
@@ -1303,9 +1320,39 @@ def _build_group(
                 ev.append((seq_id, n, n_w, got))
             return ev
 
+        def _unpack_events(all_buf):
+            """Sized fetch -> per-contig sparse event arrays (host)."""
+            rows = []
+            off = 0
+            for (i, seq_id, n, n_w, e1, e2, na, nb, nm) in sized:
+                seg = all_buf[off:off + 4 * e1].reshape(4, e1)
+                mm = all_buf[off + 4 * e1:
+                             off + 4 * e1 + 2 * e2].reshape(2, e2)
+                off += 4 * e1 + 2 * e2
+                rows.append((i, seq_id, n, n_w, (
+                    seg[0, :na], seg[1, :na], seg[2, :nb], seg[3, :nb],
+                    mm[0, :nm], mm[1, :nm])))
+            # cheap integrity check: a silently-clamped slice upstream
+            # would desynchronize the offset walk (events_caps rounding)
+            assert off == len(all_buf), \
+                f"events fetch misaligned: consumed {off} of {len(all_buf)}"
+            return _events_from_rows(rows)
+
         ev_results = []
         deferred_cat = None
-        if pieces and defer_host and lut_dev is not None:
+        pending_rows = []
+        if whole_fetch:
+            # data is already on the host; only the begin->u64 LUT
+            # prefetch below still touches the device. The pairing +
+            # classification work defers to the worker like the sized
+            # path (cat=None signals "rows already fetched").
+            if defer_host and lut_dev is not None:
+                ev_rank_arrays = [r[4][0] for r in lane_rows]
+                pending_rows = lane_rows
+            else:
+                ev_results = _events_from_rows(lane_rows)
+                ev_rank_arrays = None
+        elif pieces and defer_host and lut_dev is not None:
             # Overlapped build: the sized fetch (tens of seconds per
             # 256M-position group on a ~15 MB/s tunnel) moves OFF the
             # critical path — start an async device->host copy now and
@@ -1466,8 +1513,11 @@ def _build_group(
             t0 = _time.perf_counter()
             vals = (np.asarray(jax.device_get(vals_dev))[:len(uniq_ev)]
                     if vals_dev is not None else np.empty(0, np.uint64))
-            ev_results.extend(
-                _unpack_events(np.asarray(jax.device_get(cat))))
+            if cat is not None:
+                ev_results.extend(
+                    _unpack_events(np.asarray(jax.device_get(cat))))
+            else:        # whole-fetch mode: lanes already on the host
+                ev_results.extend(_events_from_rows(pending_rows))
             logger.debug("group phase %-14s %.2fs", "events-collect",
                          _time.perf_counter() - t0)
             return _classify_and_resolve(None, None, (uniq_ev, vals))

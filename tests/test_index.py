@@ -159,6 +159,35 @@ def test_grouped_build_matches_single_group(monkeypatch):
     assert len(a.uniq_hashes) > 0
 
 
+def test_whole_fetch_matches_sized(monkeypatch):
+    """The small-group single whole-buffer events fetch (one round
+    trip, copies started at dispatch) must be bit-identical to the
+    two-phase sized fetch — same kernels, different transfer plan —
+    in both the overlapped (deferred host) and serial builds."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from genomes import pangenome
+    contigs = pangenome(3, 60_000, 0.05, seed=23)
+
+    def build():
+        return build_index(contigs, 19, 5000, 40, threads=2)
+
+    monkeypatch.setenv("MASHMAP_TPU_EVENTS_WHOLE_FETCH", "0")
+    a = build()                                   # sized two-phase
+    monkeypatch.setenv("MASHMAP_TPU_EVENTS_WHOLE_FETCH", str(1 << 30))
+    b = build()                                   # whole, deferred
+    monkeypatch.setenv("MASHMAP_TPU_OVERLAP_BUILD", "0")
+    c = build()                                   # whole, serial
+    for f in ("uniq_hashes", "post_offsets", "post_seqid", "post_wpos",
+              "post_wend", "mi_hash", "mi_seqid", "mi_wpos", "mi_wend",
+              "mi_strand", "is_frequent"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                      err_msg=f)
+        np.testing.assert_array_equal(getattr(a, f), getattr(c, f),
+                                      err_msg=f)
+    assert len(a.mi_hash) > 0
+
+
 def test_chunked_events_matches_whole(monkeypatch):
     """The streaming (chunked + halo) events path must produce a
     bit-identical index to the whole-contig kernel: chunk the same
