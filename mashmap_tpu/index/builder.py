@@ -64,6 +64,23 @@ def _slab_step(k: int) -> int:
     return _HASH_SLAB - k + 1
 
 
+def _padded_positions(n: int, k: int) -> int:
+    """Exact k-mer position count the slab pipeline emits for an
+    n-position contig, INCLUDING the last slab's pow2 padding.
+
+    The group packer must budget against this, not the raw ``n``: the
+    pipeline's device budget check counts padded slab outputs, so a
+    group packed to just under the limit by raw size can tip over the
+    limit in padded positions and silently take the (much slower)
+    host-streaming fallback for the whole group."""
+    step = _slab_step(k)
+    pos = 0
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        pos += _pad_len(hi - lo + k - 1) - k + 1
+    return pos
+
+
 def _pad_len(n: int, lo: int = 1 << 15) -> int:
     """Round a slab length up to a power of two (>= lo).
 
@@ -864,11 +881,12 @@ def build_index(
                 #  contigs yield no minmers)
                 continue
             n = len(seq) - kmer_size + 1
-            if group and group_pos + n > dev_limit:
+            pp = _padded_positions(n, kmer_size)
+            if group and group_pos + pp > dev_limit:
                 run_group(ex, group)
                 group, group_pos = [], 0
             group.append((seq_id, seq))
-            group_pos += n
+            group_pos += pp
         if group:
             run_group(ex, group)
         flush_pending()

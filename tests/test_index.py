@@ -159,6 +159,39 @@ def test_grouped_build_matches_single_group(monkeypatch):
     assert len(a.uniq_hashes) > 0
 
 
+def test_group_packer_budgets_padded_positions(monkeypatch, caplog):
+    """The packer must budget PADDED slab positions, not raw ones.
+
+    Regression: a group packed to just under the device limit by raw
+    k-mer count exceeded it once the last slab of each contig was pow2
+    padded, silently sending the whole group down the host-streaming
+    fallback (a 284s detour per ~250 Mbp group on the 3 Gbp build)."""
+    import logging
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from genomes import pangenome
+    from mashmap_tpu.index.builder import _padded_positions
+
+    k = 19
+    n = 34_000                    # pads 34018 -> 65536 bytes
+    assert _padded_positions(n, k) > n
+    contigs = pangenome(2, n + k - 1, 0.05, seed=23)
+    raw_sum = 2 * n
+    pad_each = _padded_positions(n, k)
+    limit = (raw_sum + 2 * pad_each) // 2  # raw fits; padded pair doesn't
+    assert raw_sum < limit < 2 * pad_each and pad_each <= limit
+
+    monkeypatch.setenv("MASHMAP_TPU_DEVICE_RANK_LIMIT", str(limit))
+    with caplog.at_level(logging.INFO, logger="mashmap_tpu.index"):
+        b = build_index(contigs, k, 5000, 40)
+    assert "streaming hashes to the host" not in caplog.text
+
+    monkeypatch.setenv("MASHMAP_TPU_DEVICE_RANK_LIMIT", str(1 << 30))
+    a = build_index(contigs, k, 5000, 40)
+    np.testing.assert_array_equal(a.mi_hash, b.mi_hash)
+    np.testing.assert_array_equal(a.uniq_hashes, b.uniq_hashes)
+
+
 def test_whole_fetch_matches_sized(monkeypatch):
     """The small-group single whole-buffer events fetch (one round
     trip, copies started at dispatch) must be bit-identical to the
