@@ -1260,6 +1260,9 @@ def _build_group(
             "MASHMAP_TPU_EVENTS_WHOLE_FETCH", str(1 << 21)))
         cap_ints = sum(4 * m[5] + 2 * m[6] + 4 for m in meta_ev)
         whole_fetch = bool(bufs) and cap_ints <= whole_max
+        if bufs and os.environ.get("MASHMAP_TPU_SYNC_MARKS") == "1":
+            jax.device_get(bufs[-1][-1:])   # split compute vs fetch time
+            _mark("events-compute")
         if whole_fetch:
             for b in bufs:
                 _start_host_copy(b)
@@ -1381,9 +1384,14 @@ def _build_group(
             # occurrences are a subset of begins by construction —
             # builder.py:303-304 — and _resolve_group_hashes asserts
             # subsetness, so a violation fails loudly, never silently).
+            # dispatch the begin-rank concat FIRST: its device_get then
+            # waits only for the small bh concat, not for the full
+            # deferred concat queued behind it
+            bh_cat = jnp.concatenate(pieces[0::6])
+            _start_host_copy(bh_cat)
             deferred_cat = jnp.concatenate(pieces)
             _start_host_copy(deferred_cat)
-            bh_buf = jax.device_get(jnp.concatenate(pieces[0::6]))
+            bh_buf = jax.device_get(bh_cat)
             bh_live, boff = [], 0
             for (_i, _sid, _n, _nw, e1, _e2, na, _nb, _nm) in sized:
                 bh_live.append(bh_buf[boff:boff + na])

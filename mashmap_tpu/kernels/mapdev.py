@@ -140,22 +140,28 @@ def sweep_and_candidates(g_seq, g_wp, g_we, valid_j, s_q, min_hits,
     min_hits2_g = jnp.maximum(cutoff_table[ci], min_hits[:, None])
     has_any_g = best_g >= min_hits[:, None]
 
-    # dense per-(seq,pos) group arrays
+    # Dense per-(seq,pos) group arrays via ONE multi-operand sort
+    # (compaction of the group-last rows). grank is strictly increasing
+    # on last_of_pos columns, so sorting by (grank or G) moves the group
+    # rows to the first n_grp columns in order. Row scatters here cost
+    # ~20ms each at (1024, 2048) on this backend; sorts and cumsums are
+    # ~10x cheaper, so every segment reduction below is expressed as
+    # packed-key cummax + one compaction sort (measured 439ms -> ~210ms
+    # of l1_step was these scatters).
     G = keys.shape[1]
     grank = jnp.cumsum(last_of_pos.astype(jnp.int32), axis=1) - 1
-
-    def scat(vals, fill):
-        def row(v, r, mask):
-            out = jnp.full((G + 1,), fill, v.dtype)
-            return out.at[jnp.where(mask, r, G)].set(v)[:G]
-        return jax.vmap(row)(vals, grank, last_of_pos)
+    gkey = jnp.where(last_of_pos, grank, G)
+    zero = jnp.int32(0)
+    _, gp, gs, go = jax.lax.sort(
+        (gkey,
+         jnp.where(last_of_pos, ev_pos, zero),
+         jnp.where(last_of_pos, ev_seq, zero),
+         jnp.where(last_of_pos, overlap.astype(jnp.int32), zero)),
+        dimension=-1, num_keys=1)
 
     n_grp = jnp.sum(last_of_pos, axis=1)
     gi = jnp.arange(G)[None, :]
     g_valid = gi < n_grp[:, None]
-    gp = scat(ev_pos, jnp.int32(0))
-    gs = scat(ev_seq, jnp.int32(0))
-    go = scat(overlap.astype(jnp.int32), jnp.int32(0))
 
     gg = ref_group[jnp.clip(gs, 0, ref_group.shape[0] - 1)]  # (B, G)
     mh2 = jnp.take_along_axis(min_hits2_g, gg, axis=1)
@@ -167,46 +173,77 @@ def sweep_and_candidates(g_seq, g_wp, g_we, valid_j, s_q, min_hits,
     run_start = m & (~prev_m | (gs != prev_s))
     rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
 
-    def run_reduce(ridr, mr, gpr, gsr, gor):
-        tgt = jnp.where(mr, ridr, G)
-        first = jnp.full((G + 1,), np.int32(2**31 - 1)).at[tgt].min(
-            gpr.astype(jnp.int32))[:G]
-        last = jnp.full((G + 1,), np.int32(-1)).at[tgt].max(
-            gpr.astype(jnp.int32))[:G]
-        inter = jnp.zeros((G + 1,), jnp.int32).at[tgt].max(gor)[:G]
-        seq = jnp.zeros((G + 1,), jnp.int32).at[tgt].max(gsr)[:G]
-        return first, last, inter, seq
+    # Segment reductions without scatters. Within a run (contiguous
+    # m-columns, one seq), gp ascends (groups are (seq,pos)-sorted), so
+    # r_first = gp at the run's first column and r_last = gp at its
+    # last. Packed (rid << 32 | value) cummaxes latch each run's
+    # running values through masked gaps; reading the packed array at
+    # column j-1 of a run start yields the PREVIOUS run's final values
+    # (the clustering rule's pr_last / pr_seq).
+    M32 = jnp.int64((1 << 32) - 1)
+    neg1 = jnp.int64(-1)
 
-    r_first, r_last, r_inter, r_seq = jax.vmap(run_reduce)(
-        rid, m, gp, gs, go)
-    n_runs = jnp.max(jnp.where(m, rid, -1), axis=1) + 1
-    r_valid = jnp.arange(G)[None, :] < n_runs[:, None]
+    def latch(vals, mask):
+        packed = jnp.where(mask, (rid.astype(jnp.int64) << 32)
+                           | vals.astype(jnp.int64), neg1)
+        return jax.lax.cummax(packed, axis=1)
 
-    # cluster runs within seg_length (pairwise rule: run ends ascend)
-    pr_last = jnp.concatenate([jnp.full((B, 1), -(10 ** 9), r_last.dtype),
-                               r_last[:, :-1]], axis=1)
-    pr_seq = jnp.concatenate([jnp.full((B, 1), -1, r_seq.dtype),
-                              r_seq[:, :-1]], axis=1)
-    cl_start = r_valid & ((r_seq != pr_seq)
-                          | (r_first > pr_last + cfg.seg_length))
-    cl_start = cl_start.at[:, 0].set(r_valid[:, 0])
-    cid = jnp.cumsum(cl_start.astype(jnp.int32), axis=1) - 1
+    run_gp = latch(gp, m)          # run's max-so-far gp (== current gp)
+    run_gs = latch(gs, m)          # run's seq
+    prev_packed_gp = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int64), run_gp[:, :-1]], axis=1)
+    prev_packed_gs = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int64), run_gs[:, :-1]], axis=1)
+    has_prev = prev_packed_gp >= 0
+    pr_last = jnp.where(has_prev,
+                        (prev_packed_gp & M32).astype(jnp.int32),
+                        jnp.int32(-(10 ** 9)))
+    pr_seq = jnp.where(has_prev,
+                       (prev_packed_gs & M32).astype(jnp.int32),
+                       jnp.int32(-1))
+
+    # cluster start decision at each run start (pairwise rule: the
+    # dense-run formulation compares run r against run r-1)
+    cl_new = run_start & ((gs != pr_seq)
+                          | (gp > pr_last + cfg.seg_length))
+    cid = jnp.cumsum(cl_new.astype(jnp.int32), axis=1) - 1   # (B, G)
+
+    # cluster reductions: c_first = gp latched at the cluster's first
+    # column; c_last = gp at the cluster's last m-column (ascending);
+    # c_inter = max go over the cluster; c_seq = gs (const per cluster)
+    def clatch(vals, mask):
+        packed = jnp.where(mask, (cid.astype(jnp.int64) << 32)
+                           | vals.astype(jnp.int64), neg1)
+        return jax.lax.cummax(packed, axis=1)
+
+    cl_first = clatch(gp, cl_new)          # latched once per cluster
+    cl_go = clatch(go, m)
+
+    # cluster-last column: the next m-column has a larger cid (cid is
+    # nondecreasing over m-columns); reverse cummin finds the next
+    # m-column's cid
+    BIGI = jnp.int32(2**31 - 1)
+    arr = jnp.where(m, cid, BIGI)
+    nxt_cid = jnp.concatenate(
+        [jax.lax.cummin(arr[:, ::-1], axis=1)[:, ::-1][:, 1:],
+         jnp.full((B, 1), BIGI)], axis=1)
+    cl_last = m & (nxt_cid != cid)
 
     C = cfg.c_cap
+    # compact the <= n_cand cluster rows to the first columns with one
+    # sort, then keep C. Pad payloads reproduce the scatter fills.
+    ckey = jnp.where(cl_last, cid, G)
+    _, c_first, c_last, c_inter, c_seq = jax.lax.sort(
+        (ckey,
+         jnp.where(cl_last, (cl_first & M32).astype(jnp.int32), BIGI),
+         jnp.where(cl_last, gp, jnp.int32(-1)),
+         jnp.where(cl_last, (cl_go & M32).astype(jnp.int32), zero),
+         jnp.where(cl_last, gs, zero)),
+        dimension=-1, num_keys=1)
+    c_first, c_last = c_first[:, :C], c_last[:, :C]
+    c_inter, c_seq = c_inter[:, :C], c_seq[:, :C]
 
-    def cl_reduce(cidr, vr, fr, lr, ir, sr):
-        tgt = jnp.where(vr & (cidr < C), cidr, C)
-        first = jnp.full((C + 1,), np.int32(2**31 - 1)).at[tgt].min(
-            fr.astype(jnp.int32))[:C]
-        last = jnp.full((C + 1,), np.int32(-1)).at[tgt].max(
-            lr.astype(jnp.int32))[:C]
-        inter = jnp.zeros((C + 1,), jnp.int32).at[tgt].max(ir)[:C]
-        seq = jnp.zeros((C + 1,), jnp.int32).at[tgt].max(sr)[:C]
-        return first, last, inter, seq
-
-    c_first, c_last, c_inter, c_seq = jax.vmap(cl_reduce)(
-        cid, r_valid, r_first, r_last, r_inter, r_seq)
-    n_cand = jnp.max(jnp.where(r_valid, cid, -1), axis=1) + 1
+    n_cand = jnp.max(jnp.where(m, cid, -1), axis=1) + 1
     overflow_c = n_cand > C
     n_cand = jnp.minimum(n_cand, C)
 

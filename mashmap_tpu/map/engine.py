@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import sys
 import time
 from typing import IO, List, Optional, Sequence, Tuple
@@ -47,6 +48,9 @@ def _gather_sketch_rows(qh_dev, qs_dev, indices):
     idxs = jnp.asarray(idxv)
     return (jnp.take(qh_dev, idxs, axis=0),
             jnp.take(qs_dev, idxs, axis=0))
+
+
+_SYNC_MARKS = bool(int(os.environ.get("MASHMAP_TPU_SYNC_MARKS", "0")))
 
 
 def _start_host_copy(arr) -> None:
@@ -694,11 +698,18 @@ class Mapper:
         # few distinct l1_step XLA shapes (compiles are multi-second and
         # reused across batches/processes) without paying up to 2x
         # padding waste; multi-device meshes also need divisibility by
-        # the device count
+        # the device count. A trailing partial batch (the stream's tail)
+        # drops to a quarter-width program when it fits — l1_step cost
+        # is ~linear in rows, so a 176-fragment tail in a 1024-row batch
+        # would pay ~6x its real work.
         Bp = 1 << (B - 1).bit_length()
         if B <= (Bp * 3) // 4:
             Bp = (Bp * 3) // 4
-        Bp = max(p.batch_fragments, Bp)
+        b_small = max(64, p.batch_fragments // 4)
+        if B <= b_small:
+            Bp = b_small
+        else:
+            Bp = max(p.batch_fragments, Bp)
         if Bp % self._n_dev:
             Bp += self._n_dev - Bp % self._n_dev
         matp = mat
@@ -763,6 +774,9 @@ class Mapper:
         # ONE device->host transfer per batch: on tunneled TPU backends
         # every fetch pays ~300ms of latency, so the kernel packs all
         # outputs into a single i32 buffer.
+        if _SYNC_MARKS:       # split compute-done vs transfer time
+            jax.device_get(ctx.out[:1, :1])
+            _mark("l1-compute")
         o = unpack_l1_meta(jax.device_get(ctx.out)[:B], cfg.c_cap)
         ctx.out = None
         ctx.o = o
@@ -817,8 +831,15 @@ class Mapper:
         AREA = p.l2_batch * p.l2_entries_cap // 2
         from ..parallel.sharded_index import L2_T_MAX
         # ceiling tied to the sharded-index slab halo: a slice must fit
-        # wholly inside its owner's slab
-        T_BUCKETS = (512, 2048, L2_T_MAX)
+        # wholly inside its owner's slab. l2_step cost is ~linear in
+        # dispatched area (W*T), so the replicated path uses a finer T
+        # ladder (fewer pad columns per item) at the price of one more
+        # compiled shape; the sharded path keeps the coarse ladder (its
+        # per-owner routing multiplies shapes by the shard count).
+        if self._sharded_idx is not None:
+            T_BUCKETS = (512, 2048, L2_T_MAX)
+        else:
+            T_BUCKETS = (512, 1024, 2048, L2_T_MAX)
         t_max = T_BUCKETS[-1]
         buckets: dict[int, list] = {t: [] for t in T_BUCKETS}
         host_l2_set = set()
@@ -896,9 +917,15 @@ class Mapper:
             W_STEP = max(8, AREA // T)
             if W_STEP % self._n_dev:
                 W_STEP += self._n_dev - W_STEP % self._n_dev
+            # a trailing partial chunk drops to a quarter-width program
+            # when it fits: area cost is linear, so a 100-item tail in a
+            # 1024-row chunk would pay 10x its real work
+            W_SMALL = max(8, W_STEP // 4)
+            if W_SMALL % self._n_dev:
+                W_SMALL += self._n_dev - W_SMALL % self._n_dev
             for w0 in range(0, len(todo), W_STEP):
                 chunk = todo[w0:w0 + W_STEP]
-                Wp = W_STEP
+                Wp = W_SMALL if len(chunk) <= W_SMALL else W_STEP
                 w_lo = np.zeros(Wp, np.int32)
                 w_mid = np.zeros(Wp, np.int32)
                 w_hi = np.zeros(Wp, np.int32)
@@ -943,6 +970,14 @@ class Mapper:
             _start_host_copy(ctx.qh_pick[0])
             _start_host_copy(ctx.qh_pick[1])
         ctx.need0 = need
+        if logger.isEnabledFor(logging.DEBUG):
+            spans = np.array([w[4] - w[2] for w in work], np.int64)
+            hist = {t: int((spans <= t).sum()) for t in
+                    (64, 128, 256, 512, 1024, 2048, 4096, 8192)}
+            logger.debug("l2 work: %d items -> %d chunks (host_l2 %d, "
+                         "host_frags %d); span cdf %s", len(work),
+                         len(pending), len(host_l2_set),
+                         len(host_frags), hist)
         _mark("l2-dispatch")
         ctx.host_l2_set = host_l2_set
         ctx.stage = 1
@@ -959,6 +994,12 @@ class Mapper:
         host_l2_set = ctx.host_l2_set
         loci_by = {}
         _t = [time.perf_counter()]
+        if pending and _SYNC_MARKS:
+            jax.device_get(ctx.pcat[:1, :1])
+            logger.debug("map phase %-13s %.2fs (%d chunks, %d rows)",
+                         "l2-compute", time.perf_counter() - _t[0],
+                         len(pending), int(ctx.pcat.shape[0]))
+            _t[0] = time.perf_counter()
         if pending:
             all_runs = jax.device_get(ctx.pcat)
             ctx.pcat = None
@@ -1139,26 +1180,39 @@ class Mapper:
             Bp = max(p.batch_fragments, g)
             L = p.seg_length
             NC = self._n_contigs_padded
-            a = (S((Bp, L), jnp.uint8),) + tuple(
-                S(x.shape, x.dtype) for x in (
-                    dev["uniq_hashes"], dev["post_offsets"],
-                    dev["post_seqid"], dev["post_wpos"],
-                    dev["post_wend"], dev["is_frequent"],
-                    dev["min_hits_table"], dev["cutoff_table"])) + (
-                S((Bp, NC), jnp.bool_),
-                S(dev["ref_group"].shape, dev["ref_group"].dtype),
-                S(dev["mi_seqid"].shape, dev["mi_seqid"].dtype),
-                S(dev["mi_wpos"].shape, dev["mi_wpos"].dtype))
-            jobs = [lambda a=a: l1_step.lower(*a, cfg=cfg).compile()]
+            def l1_args(Bn):
+                return (S((Bn, L), jnp.uint8),) + tuple(
+                    S(x.shape, x.dtype) for x in (
+                        dev["uniq_hashes"], dev["post_offsets"],
+                        dev["post_seqid"], dev["post_wpos"],
+                        dev["post_wend"], dev["is_frequent"],
+                        dev["min_hits_table"], dev["cutoff_table"])) + (
+                    S((Bn, NC), jnp.bool_),
+                    S(dev["ref_group"].shape, dev["ref_group"].dtype),
+                    S(dev["mi_seqid"].shape, dev["mi_seqid"].dtype),
+                    S(dev["mi_wpos"].shape, dev["mi_wpos"].dtype))
+            jobs = [lambda a=l1_args(Bp): l1_step.lower(
+                        *a, cfg=cfg).compile(),
+                    # the quarter-width tail batch (_dispatch_batch)
+                    lambda a=l1_args(max(64, p.batch_fragments // 4)):
+                        l1_step.lower(*a, cfg=cfg).compile()]
             AREA = p.l2_batch * p.l2_entries_cap // 2
             s = p.sketch_size
             mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
                 "mi_rank", "mi_wpos", "mi_wend", "mi_strand",
                 "mi_seqid"))
-            for T in (512, 2048, L2_T_MAX):
+            # (T, W) pairs mirroring _collect_l1's replicated ladder:
+            # full-width chunks for every bucket, quarter-width tails
+            # for the two buckets that dominate real span mixes
+            pairs = []
+            for T in (512, 1024, 2048, L2_T_MAX):
                 W = max(8, AREA // T)
+                pairs.append((T, W))
+                if T in (512, 1024):
+                    pairs.append((T, max(8, W // 4)))
+            for T, W in pairs:
                 wargs = (S((W,), jnp.int32),) * 4 + (
-                    S((W, s), jnp.uint64), S((W, s), jnp.int8),
+                    S((W, s), jnp.int32), S((W, s), jnp.int8),
                     S((W,), jnp.int32)) + mi
                 jobs.append(lambda wargs=wargs, T=T:
                             l2_step.lower(*wargs, t_cap=T, s=s).compile())
