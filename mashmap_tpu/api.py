@@ -57,8 +57,20 @@ def map_files(params: Parameters,
         # concurrent writers race on --saveIndex; the build itself is
         # deterministic, so every process gets identical tables
         params.save_index_filename = ""
-    if index is None:
-        index = build_or_load_index(params)
+    # start reading the query stream NOW, so its I/O + decompression
+    # overlap the index build/load (host is idle while device phases
+    # run); a bounded queue caps memory for arbitrarily large query sets
+    reader = None
+    if params.query_sequences:
+        from .io.fasta import PrefetchReader
+        reader = PrefetchReader(params.query_sequences)
+    try:
+        if index is None:
+            index = build_or_load_index(params)
+    except BaseException:
+        if reader is not None:
+            reader.close()
+        raise
     if params.load_index_filename and (
             index.kmer_size != params.kmer_size
             or index.window_size != params.seg_length
@@ -81,13 +93,26 @@ def map_files(params: Parameters,
         params.sketch_size = index.sketch_size
     mapper = Mapper(params, index)
     t0 = time.time()
+    try:
+        if ctx is not None:
+            if params.out_file_name == "-":
+                raise ValueError(
+                    "multi-process runs need a file output (-o), "
+                    "not stdout")
+            part = ctx.part_path(params.out_file_name)
+            with open(part, "w") as out:
+                mapper.run(params.query_sequences, out, reader=reader)
+        elif params.out_file_name == "-":
+            mapper.run(params.query_sequences, sys.stdout,
+                       reader=reader)
+        else:
+            with open(params.out_file_name, "w") as out:
+                mapper.run(params.query_sequences, out, reader=reader)
+    except BaseException:
+        if reader is not None:
+            reader.close()
+        raise
     if ctx is not None:
-        if params.out_file_name == "-":
-            raise ValueError(
-                "multi-process runs need a file output (-o), not stdout")
-        part = ctx.part_path(params.out_file_name)
-        with open(part, "w") as out:
-            mapper.run(params.query_sequences, out)
         distributed.barrier("map-parts-done")
         if ctx.is_primary:
             if params.filter_mode == FILTER_ONETOONE:
@@ -98,10 +123,5 @@ def map_files(params: Parameters,
             else:
                 distributed.merge_paf_parts(params.out_file_name, ctx)
         distributed.barrier("map-merged")
-    elif params.out_file_name == "-":
-        mapper.run(params.query_sequences, sys.stdout)
-    else:
-        with open(params.out_file_name, "w") as out:
-            mapper.run(params.query_sequences, out)
     logger.info("mapping done in %.2fs", time.time() - t0)
     return index

@@ -82,14 +82,14 @@ def _padded_positions(n: int, k: int) -> int:
 
 
 def _pad_len(n: int, lo: int = 1 << 15) -> int:
-    """Round a slab length up to a power of two (>= lo).
+    """Round a slab length up to the {1, 1.25, 1.5, 1.75}*2^k grid.
 
-    Fixed shape buckets keep the number of distinct XLA compilations
-    (and persistent-cache entries) tiny — compile time, not FLOPs, is
-    the dominant cost of naive per-contig shapes on TPU.
+    Was pow2 through round 3; that padded a 1.5 Mbp contig's hash slab
+    by 33% (u64 murmur is ~0.44s for the 6 Mbp bench genome — the
+    largest single build phase). The grid keeps distinct XLA shapes to
+    four per octave, which the persistent cache absorbs.
     """
-    n = max(n, lo)
-    return 1 << (n - 1).bit_length()
+    return _grid_len(n, lo)
 
 
 def _grid_len(n: int, lo: int = 1 << 15) -> int:

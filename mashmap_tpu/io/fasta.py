@@ -110,3 +110,57 @@ def total_seq_stats(filenames: Iterable[str]) -> tuple[int, int]:
                 total_seqs += 1
                 total_bp += len(seq)
     return total_seqs, total_bp
+
+
+class PrefetchReader:
+    """Background query-stream reader.
+
+    Starts reading (and decompressing) query files on a worker thread
+    the moment it is constructed, so the host I/O overlaps the index
+    build's device phases (the reference overlaps I/O and compute with
+    its thread pool, computeMap.hpp:607-637). A bounded queue keeps
+    memory O(queue) however large the query set; items arrive in exact
+    file order, so consumers see the same stream as
+    ``for_each_seq_in_file`` over each file in turn.
+    """
+
+    def __init__(self, files, maxsize: int = 256):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=maxsize)
+        self._stop = threading.Event()
+        self._files = list(files)
+
+        def _fill():
+            try:
+                for fname in self._files:
+                    for name, seq in for_each_seq_in_file(fname):
+                        if self._stop.is_set():
+                            return
+                        self._q.put((name, seq))
+                self._q.put(None)
+            except BaseException as e:   # surfaced on the consumer side
+                self._q.put(e)
+
+        self._t = threading.Thread(target=_fill, daemon=False)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        self._t.join()
+
+    def close(self):
+        """Abandon the stream (error paths): unblock + join the thread."""
+        self._stop.set()
+        while self._t.is_alive():
+            try:
+                self._q.get(timeout=0.1)
+            except Exception:
+                pass
+        self._t.join()

@@ -1348,8 +1348,12 @@ class Mapper:
         assert not finalq, "pipelined path left unfinished queries"
 
     def run(self, query_files: Sequence[str], out: IO[str],
-            progress: Optional[bool] = None) -> None:
-        """Full mapQuery equivalent: stream files, map, write output."""
+            progress: Optional[bool] = None, reader=None) -> None:
+        """Full mapQuery equivalent: stream files, map, write output.
+
+        ``reader`` (io.fasta.PrefetchReader) supplies the same
+        (name, seq) stream as iterating ``query_files`` in order, but
+        from a thread that started during the index build."""
         from ..io import for_each_seq_in_file, total_seq_stats
         from ..progress import ProgressMeter
         from ..parallel import distributed
@@ -1377,33 +1381,39 @@ class Mapper:
             meter = ProgressMeter(
                 total_bp, "[mashmap-tpu::map] mapped")
 
+        def name_seq_stream():
+            if reader is not None:
+                yield from reader
+            else:
+                for fname in query_files:
+                    yield from for_each_seq_in_file(fname)
+
         def owned_queries():
             """Stream owned queries in file order, maintaining the
             global counters / one-to-one metadata / meter credit for
             skipped and foreign-process queries."""
-            for fname in query_files:
-                for name, seq in for_each_seq_in_file(fname):
-                    qlen = len(seq)
-                    if p.filter_mode == FILTER_ONETOONE:
-                        self.qmetadata.append((name, qlen))
-                    if qlen >= p.kmer_size:
-                        self.total_reads_picked += 1
-                        if self._dist is not None and not \
-                                self._dist.owns_query(
-                                    self.total_seq_counter):
-                            # another process maps this query; count its
-                            # bp so the meter tracks global progress
-                            if meter is not None:
-                                meter.increment(qlen)
-                        else:
-                            yield _Query(name, seq,
-                                         self.total_seq_counter)
+            for name, seq in name_seq_stream():
+                qlen = len(seq)
+                if p.filter_mode == FILTER_ONETOONE:
+                    self.qmetadata.append((name, qlen))
+                if qlen >= p.kmer_size:
+                    self.total_reads_picked += 1
+                    if self._dist is not None and not \
+                            self._dist.owns_query(
+                                self.total_seq_counter):
+                        # another process maps this query; count its
+                        # bp so the meter tracks global progress
+                        if meter is not None:
+                            meter.increment(qlen)
                     else:
-                        logger.warning(
-                            "read %s of %dbp is not long enough for "
-                            "mapping", name, qlen)
-                    self.total_seq_counter += 1
-                    self.total_bp += qlen
+                        yield _Query(name, seq,
+                                     self.total_seq_counter)
+                else:
+                    logger.warning(
+                        "read %s of %dbp is not long enough for "
+                        "mapping", name, qlen)
+                self.total_seq_counter += 1
+                self.total_bp += qlen
 
         if p.use_device_pipeline and p.split:
             self.prewarm_async()
