@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of sketch elements")
     p.add_argument("--dense", action="store_true",
                    help="use dense sketching for higher ANI accuracy")
+    p.add_argument("--exactRefSize", action="store_true",
+                   help="derive the auto sketch size from the true "
+                        "reference size; by default the reference binary's "
+                        "int32 referenceSize wraparound (affects refs >= "
+                        "2 GiB) is mirrored for output parity")
     p.add_argument("-l", "--blockLength", type=handy_parameter,
                    default=None,
                    help="keep merged mappings of at least this length "
@@ -213,6 +218,7 @@ def args_to_params(a) -> Parameters:
         kmer_complexity_threshold=a.kmerComplexity,
         sketch_size=a.sketchSize,
         dense=a.dense,
+        exact_ref_size=a.exactRefSize,
         sparsity_hash_threshold=sparsity,
         legacy_output=a.legacy,
         threads=a.threads,

@@ -43,6 +43,32 @@ FILTER_ONETOONE = 2
 FILTER_NONE = 3
 
 
+def binary_effective_ref_size(size: int) -> int:
+    """The referenceSize value the REFERENCE BINARY actually feeds its
+    auto-sketch-size model — including its int32 wraparound for
+    references >= 2 GiB.
+
+    Chain in the reference: ``getReferenceSize`` returns the uint64 byte
+    sum (commonFunc.hpp:591-603); it is assigned to
+    ``Parameters::referenceSize`` of type ``offset_t`` = int32
+    (parseCmdArgs.hpp:304, map_parameters.hpp:41, base_types.hpp:18-22
+    without LARGE_CONTIG), wrapping modulo 2^32; the wrapped value is then
+    converted back to ``uint64_t lengthReference`` in
+    ``recommendedSketchSize``/``estimate_pvalue`` (map_stats.hpp:187,241),
+    so a negative int32 becomes ~1.8e19 and the p-value loop picks a much
+    larger sketch (s=40 instead of 20 on a 3.1 GB reference — verified
+    against the stock binary). Mirroring this keeps our auto-selected
+    operating point identical to every stock >2 GiB run; pass
+    ``--exactRefSize`` for the un-wrapped (mathematically intended) value.
+    """
+    v32 = size & 0xFFFFFFFF
+    if v32 >= 1 << 31:
+        v32 -= 1 << 32          # uint64 -> int32: two's-complement wrap
+    if v32 < 0:
+        v32 += 1 << 64          # int32 -> uint64 conversion of a negative
+    return v32
+
+
 @dataclasses.dataclass
 class Parameters:
     """All mapping knobs. Field names follow the reference for auditability."""
@@ -81,6 +107,8 @@ class Parameters:
     kmer_complexity_threshold: float = 0.0
     sketch_size: Optional[int] = None         # None => derive (see finalize)
     dense: bool = False
+    exact_ref_size: bool = False    # auto sketch size from the TRUE ref
+    # size instead of mirroring the binary's int32 wrap (>= 2 GiB refs)
     sparsity_hash_threshold: int = UINT64_MAX
     legacy_output: bool = False
     threads: int = 1                          # host-side parallelism only
@@ -130,6 +158,8 @@ class Parameters:
                 self.sketch_size = int(dens * (self.seg_length - self.kmer_size))
             else:
                 from . import stats
+                eff_size = (self.reference_size if self.exact_ref_size
+                            else binary_effective_ref_size(self.reference_size))
                 self.sketch_size = stats.recommended_sketch_size(
                     FIXED.pval_cutoff,
                     FIXED.confidence_interval,
@@ -137,6 +167,6 @@ class Parameters:
                     self.alphabet_size,
                     self.percentage_identity,
                     self.seg_length,
-                    self.reference_size,
+                    eff_size,
                 )
         return self

@@ -15,6 +15,12 @@ if [ ! -x "$OUT/mashmap-align" ] || [ "$HERE/build_ref.sh" -nt "$OUT/mashmap-ali
         -lz -lpthread 2> "$OUT/build_align.log" || {
             echo "align build failed; see $OUT/build_align.log" >&2; exit 1; }
 fi
+if [ ! -x "$OUT/stats_probe" ] || [ "$HERE/stats_probe.cpp" -nt "$OUT/stats_probe" ]; then
+    g++ -std=c++17 -O2 -I "$REF/src" -I "$REF/src/common" -I "$HERE" \
+        -o "$OUT/stats_probe" "$HERE/stats_probe.cpp" \
+        2> "$OUT/build_stats_probe.log" || {
+            echo "stats_probe build failed; see $OUT/build_stats_probe.log" >&2; exit 1; }
+fi
 if [ ! -x "$OUT/mashmap" ] || [ "$HERE/build_ref.sh" -nt "$OUT/mashmap" ]; then
     g++ -std=c++17 -O2 -I "$REF/src" -I "$REF/src/common" -I "$HERE" \
         -o "$OUT/mashmap" \
