@@ -64,36 +64,36 @@ def map_files(params: Parameters,
     if params.query_sequences:
         from .io.fasta import PrefetchReader
         reader = PrefetchReader(params.query_sequences)
+    # one guarded region from here through mapper.run: ANY failure
+    # (index build, device put OOM, sharding setup in Mapper.__init__,
+    # mapping itself) must close the non-daemon reader thread, or the
+    # process hangs at exit blocked on the full queue instead of
+    # propagating the error
     try:
         if index is None:
             index = build_or_load_index(params)
-    except BaseException:
-        if reader is not None:
-            reader.close()
-        raise
-    if params.load_index_filename and (
-            index.kmer_size != params.kmer_size
-            or index.window_size != params.seg_length
-            or index.sketch_size != params.sketch_size):
-        # the reference trusts the CLI to re-pass matching flags and
-        # reads its raw-struct dump unchecked (winSketch.hpp:270-374);
-        # our npz stores the build parameters, so adopt them instead of
-        # silently mixing sketch domains
-        logger.warning(
-            "loaded index was built with k=%d w=%d s=%d; overriding "
-            "the CLI-derived k=%d w=%d s=%d",
-            index.kmer_size, index.window_size, index.sketch_size,
-            params.kmer_size, params.seg_length, params.sketch_size)
-        if params.block_length == params.seg_length:
-            params.block_length = index.window_size
-        if params.chain_gap == params.seg_length:
-            params.chain_gap = index.window_size
-        params.kmer_size = index.kmer_size
-        params.seg_length = index.window_size
-        params.sketch_size = index.sketch_size
-    mapper = Mapper(params, index)
-    t0 = time.time()
-    try:
+        if params.load_index_filename and (
+                index.kmer_size != params.kmer_size
+                or index.window_size != params.seg_length
+                or index.sketch_size != params.sketch_size):
+            # the reference trusts the CLI to re-pass matching flags and
+            # reads its raw-struct dump unchecked (winSketch.hpp:270-374);
+            # our npz stores the build parameters, so adopt them instead
+            # of silently mixing sketch domains
+            logger.warning(
+                "loaded index was built with k=%d w=%d s=%d; overriding "
+                "the CLI-derived k=%d w=%d s=%d",
+                index.kmer_size, index.window_size, index.sketch_size,
+                params.kmer_size, params.seg_length, params.sketch_size)
+            if params.block_length == params.seg_length:
+                params.block_length = index.window_size
+            if params.chain_gap == params.seg_length:
+                params.chain_gap = index.window_size
+            params.kmer_size = index.kmer_size
+            params.seg_length = index.window_size
+            params.sketch_size = index.sketch_size
+        mapper = Mapper(params, index)
+        t0 = time.time()
         if ctx is not None:
             if params.out_file_name == "-":
                 raise ValueError(

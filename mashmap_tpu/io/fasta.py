@@ -118,25 +118,41 @@ class PrefetchReader:
     Starts reading (and decompressing) query files on a worker thread
     the moment it is constructed, so the host I/O overlaps the index
     build's device phases (the reference overlaps I/O and compute with
-    its thread pool, computeMap.hpp:607-637). A bounded queue keeps
-    memory O(queue) however large the query set; items arrive in exact
-    file order, so consumers see the same stream as
-    ``for_each_seq_in_file`` over each file in turn.
+    its thread pool, computeMap.hpp:607-637). The queue is bounded both
+    by item count and by BUFFERED BASES (chromosome-scale contigs would
+    otherwise park tens of GB behind a count-only bound): the producer
+    blocks once ``max_bytes`` of sequence is in flight, so memory stays
+    O(max_bytes + one contig). Items arrive in exact file order, so
+    consumers see the same stream as ``for_each_seq_in_file`` over each
+    file in turn.
     """
 
-    def __init__(self, files, maxsize: int = 256):
+    def __init__(self, files, maxsize: int = 256,
+                 max_bytes: int = 256 * 1024 * 1024):
         import queue
         import threading
         self._q = queue.Queue(maxsize=maxsize)
         self._stop = threading.Event()
         self._files = list(files)
+        self._buffered = 0                    # bases currently queued
+        self._cond = threading.Condition()    # guards _buffered
+        self._max_bytes = int(max_bytes)
 
         def _fill():
             try:
                 for fname in self._files:
                     for name, seq in for_each_seq_in_file(fname):
-                        if self._stop.is_set():
-                            return
+                        with self._cond:
+                            # admit at least one item however large, so a
+                            # single contig above the budget still flows
+                            while (self._buffered > 0
+                                   and self._buffered + len(seq)
+                                   > self._max_bytes
+                                   and not self._stop.is_set()):
+                                self._cond.wait(timeout=0.5)
+                            if self._stop.is_set():
+                                return
+                            self._buffered += len(seq)
                         self._q.put((name, seq))
                 self._q.put(None)
             except BaseException as e:   # surfaced on the consumer side
@@ -152,6 +168,9 @@ class PrefetchReader:
                 break
             if isinstance(item, BaseException):
                 raise item
+            with self._cond:
+                self._buffered -= len(item[1])
+                self._cond.notify()
             yield item
         self._t.join()
 

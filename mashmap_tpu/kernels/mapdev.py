@@ -437,6 +437,32 @@ def unpack_l1_meta(meta: np.ndarray, c_cap: int):
     }
 
 
+def _prefix_matmul_e(d):
+    """Inclusive prefix sum over the last (event) axis of a bf16 delta
+    cube via blocked lower-triangular MXU matmuls; int16 result.
+
+    Exact: deltas are {-1, 0, +1} (bf16-representable), the MXU
+    accumulates in f32, and every prefix value is an integer bounded by
+    the entry cap T <= 8192 < 2^24. One MXU pass per 512-event block
+    plus a tiny inter-block carry replaces XLA's log2(E) shifted-add
+    lowering of cumsum, which moved ~100x the necessary HBM bytes
+    (measured: the three (W,2T,s) cube cumsums at W=512 T=1024 s=130
+    ran 34 ms; this form runs the whole count/rank pipeline in ~14 ms).
+    """
+    Wd, Sd, Ed = d.shape
+    C = 512 if Ed % 512 == 0 else Ed
+    nb = Ed // C
+    lt = (jnp.arange(C)[:, None] <= jnp.arange(C)[None, :]).astype(
+        jnp.bfloat16)
+    db = d.reshape(Wd, Sd, nb, C)
+    intra = jax.lax.dot_general(
+        db, lt, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int16)
+    tot = intra[..., -1]                                  # (W, s, nb)
+    carry = jnp.cumsum(tot, axis=-1, dtype=jnp.int16) - tot
+    return (intra + carry[..., None]).reshape(Wd, Sd, Ed)
+
+
 @functools.partial(jax.jit, static_argnames=("t_cap", "s"))
 def l2_step(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
             mi_rank, mi_wpos, mi_wend, mi_strand, mi_seqid,
@@ -543,33 +569,37 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
     ev_strand = jnp.where(ev_live, ((pay >> 2) & 3) - 1, 0)
     sign = jnp.where(ev_live, (pay & 1) * 2 - 1, 0)         # +1/-1
 
-    # ---- signed one-hot cumsums over the event axis (bucket-dense).
-    # int16: the (W, 2T, s) count cubes are this kernel's dominant HBM
-    # traffic and every count is bounded by T <= 8192 (one interval
-    # entry contributes one signed unit per bucket)
-    lane = jnp.arange(s, dtype=jnp.int32)[None, None, :]    # (1, 1, s)
-    oh = (ev_b[:, :, None] == lane)                         # (W, 2T, s)
-    sgn16 = sign.astype(jnp.int16)[:, :, None]
-    cnt_m = jnp.cumsum(
-        jnp.where(oh & ev_match[:, :, None], sgn16, jnp.int16(0)),
-        axis=1, dtype=jnp.int16)
-    cnt_n = jnp.cumsum(
-        jnp.where(oh & ev_non[:, :, None], sgn16, jnp.int16(0)),
-        axis=1, dtype=jnp.int16)
-    cnt_v = jnp.cumsum(
-        jnp.where(oh & ev_match[:, :, None],
-                  sgn16 * ev_strand.astype(jnp.int16)[:, :, None],
-                  jnp.int16(0)),
-        axis=1, dtype=jnp.int16)
+    # ---- bucket-dense active counts at every event, (W, s, E) with the
+    # long event axis minor, via MATMUL-form prefix sums (see
+    # _prefix_matmul_e — one MXU pass instead of log2(E) cumsum passes
+    # over the cubes; 2.5x on chip at bench scale, bit-identical)
+    lane = jnp.arange(s, dtype=jnp.int32)[None, :, None]    # (1, s, 1)
+    ohm = (ev_b[:, None, :] == lane) & ev_match[:, None, :]
+    ohn = (ev_b[:, None, :] == lane) & ev_non[:, None, :]
+    sgn = sign.astype(jnp.bfloat16)[:, None, :]
+    dm = jnp.where(ohm, sgn, 0).astype(jnp.bfloat16)        # (W, s, E)
+    dn = jnp.where(ohn, sgn, 0).astype(jnp.bfloat16)
+    dv = jnp.where(ohm, sgn * ev_strand.astype(
+        jnp.bfloat16)[:, None, :], 0).astype(jnp.bfloat16)
+    cnt_m = _prefix_matmul_e(dm)                            # (W, s, E)
+    cnt_v = _prefix_matmul_e(dv)
 
-    # pivot rule over the bucket axis (rank fits int16: s + T <= 16384)
-    rank = (jnp.arange(1, s + 1, dtype=jnp.int16)[None, None, :]
-            + jnp.cumsum(cnt_n, axis=-1, dtype=jnp.int16))
-    Pmask = rank <= s_q[:, None, None].astype(jnp.int16)
-    shared = jnp.sum(jnp.where(Pmask, cnt_m, jnp.int16(0)), axis=-1,
+    # pivot rule over the bucket axis (rank fits int16: s + T <= 16384).
+    # Per event only ONE bucket fires, so the bucket-inclusive prefix of
+    # dn stays in {-1, 0, +1} — exact even in bf16 — and its event-axis
+    # prefix is the rank correction.
+    lts = (jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]).astype(
+        jnp.bfloat16)
+    cs_dn = jnp.einsum("bt,wte->wbe", lts, dn,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+    rank = (jnp.arange(1, s + 1, dtype=jnp.int16)[None, :, None]
+            + _prefix_matmul_e(cs_dn))
+    Pmask = rank <= s_q[:, None, None].astype(jnp.int16)    # (W, s, E)
+    shared = jnp.sum(jnp.where(Pmask, cnt_m, jnp.int16(0)), axis=1,
                      dtype=jnp.int32)                       # (W, 2T)
     votes = jnp.sum(jnp.where(Pmask, cnt_v, jnp.int16(0))
-                    * q_strand[:, None, :s].astype(jnp.int16), axis=-1,
+                    * q_strand[:, :s, None].astype(jnp.int16), axis=1,
                     dtype=jnp.int32)
 
     # ---- optimal-plateau runs over snapshot (main-insert) events
@@ -589,17 +619,34 @@ def l2_step(w_lo, w_mid, w_hi, w_seq, q_code, q_strand, s_q,
     rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
 
     L = L2_RUN_CAP
-    col = jnp.arange(E, dtype=jnp.int32)
-
-    def row_runs(eqr, ridr, wposr):
-        tgt = jnp.where(eqr & (ridr < L), ridr, L)
-        start_w = jnp.full((L + 1,), np.int32(2**31 - 1),
-                           jnp.int32).at[tgt].min(wposr)[:L]
-        tb = jnp.full((L + 1,), np.int32(-1), jnp.int32).at[tgt].max(
-            col)[:L]
-        return start_w, tb
-
-    start_w, tb = jax.vmap(row_runs)(eq, rid, wp_pay)        # (W, L)
+    col = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32)[None], (W, E))
+    # run compaction by SORT, not vmapped row scatters (those cost
+    # ~20 ms per chunk at (512, 2048) on this backend, CLAUDE.md rule 3;
+    # two 2-operand sorts run in ~4 ms). Keys are unique below L (one
+    # run_start / run_last column per rid), and rid >= L keys only exist
+    # when > L real runs fill the first L columns anyway, so reading
+    # [:L] reproduces the scatter fills exactly (BIG / -1 pads).
+    #
+    # start_w[r] = wp_pay at run r's FIRST eq column: eq columns are
+    # main-insert events, whose wp ascends with the event sort key, so
+    # the first column is the run's min wpos.
+    _, start_w = jax.lax.sort(
+        (jnp.where(run_start, rid, L),
+         jnp.where(run_start, wp_pay, BIG)),
+        dimension=-1, num_keys=1)
+    start_w = start_w[:, :L]
+    # tb[r] = run r's LAST eq column: eq-column rids are nondecreasing,
+    # so a run ends where the next eq column's rid differs
+    arr_r = jnp.where(eq, rid, BIG)
+    nxt_rid = jnp.concatenate(
+        [jax.lax.cummin(arr_r[:, ::-1], axis=1)[:, ::-1][:, 1:],
+         jnp.full((W, 1), BIG)], axis=1)
+    run_last = eq & (nxt_rid != rid)
+    _, tb = jax.lax.sort(
+        (jnp.where(run_last, rid, L),
+         jnp.where(run_last, col, jnp.int32(-1))),
+        dimension=-1, num_keys=1)
+    tb = tb[:, :L]
     n_runs = jnp.max(jnp.where(eq, rid, -1), axis=1) + 1     # (W,)
     run_overflow = n_runs > L
 

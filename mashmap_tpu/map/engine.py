@@ -705,7 +705,9 @@ class Mapper:
         Bp = 1 << (B - 1).bit_length()
         if B <= (Bp * 3) // 4:
             Bp = (Bp * 3) // 4
-        b_small = max(64, p.batch_fragments // 4)
+        # clamp: the tail shape must never exceed the full-batch shape
+        # (batch_fragments < 64 configs would otherwise pad UP to 64)
+        b_small = min(p.batch_fragments, max(64, p.batch_fragments // 4))
         if B <= b_small:
             Bp = b_small
         else:
@@ -1178,6 +1180,16 @@ class Mapper:
             if B <= (g * 3) // 4:
                 g = (g * 3) // 4
             Bp = max(p.batch_fragments, g)
+
+            def _dev_round(n):
+                # _dispatch_batch rounds every batch up to a multiple of
+                # the device count; prewarm must mirror it or multi-
+                # device runs recompile the tail on the fly
+                return n + (-n) % self._n_dev
+
+            Bp = _dev_round(Bp)
+            b_small = _dev_round(
+                min(p.batch_fragments, max(64, p.batch_fragments // 4)))
             L = p.seg_length
             NC = self._n_contigs_padded
             def l1_args(Bn):
@@ -1194,7 +1206,7 @@ class Mapper:
             jobs = [lambda a=l1_args(Bp): l1_step.lower(
                         *a, cfg=cfg).compile(),
                     # the quarter-width tail batch (_dispatch_batch)
-                    lambda a=l1_args(max(64, p.batch_fragments // 4)):
+                    lambda a=l1_args(b_small):
                         l1_step.lower(*a, cfg=cfg).compile()]
             AREA = p.l2_batch * p.l2_entries_cap // 2
             s = p.sketch_size
@@ -1202,14 +1214,14 @@ class Mapper:
                 "mi_rank", "mi_wpos", "mi_wend", "mi_strand",
                 "mi_seqid"))
             # (T, W) pairs mirroring _collect_l1's replicated ladder:
-            # full-width chunks for every bucket, quarter-width tails
-            # for the two buckets that dominate real span mixes
+            # full-width chunks AND quarter-width tails for every bucket
+            # (the runtime W_SMALL path fires for any bucket's trailing
+            # chunk, so all of them must be prewarmed)
             pairs = []
             for T in (512, 1024, 2048, L2_T_MAX):
-                W = max(8, AREA // T)
+                W = _dev_round(max(8, AREA // T))
                 pairs.append((T, W))
-                if T in (512, 1024):
-                    pairs.append((T, max(8, W // 4)))
+                pairs.append((T, _dev_round(max(8, W // 4))))
             for T, W in pairs:
                 wargs = (S((W,), jnp.int32),) * 4 + (
                     S((W, s), jnp.int32), S((W, s), jnp.int8),
