@@ -118,11 +118,18 @@ def merge_mappings_in_range(mappings: List[MappingResult],
             head.nuc_identity * head.block_length / 100.0)
         head.n_merged = len(chain)
         # accumulate in CHAIN order (double adds are not associative;
-        # the reference's accumulate iterates the introsort order)
+        # the reference's accumulate iterates the introsort order), then
+        # round the identity mean to FLOAT32: MappingResult::nucIdentity
+        # is a C++ float member (base_types.hpp:164), so the double mean
+        # rounds on assignment — without this, long chains drift in the
+        # 6th printed id:f digit (seen on 3 of the 250 flagship rows at
+        # chains of hundreds of fragments). kmerComplexity is a long
+        # double member (base_types.hpp:173) — no rounding there.
+        import numpy as _np
         acc = 0.0
         for m in chain:
             acc += m.nuc_identity
-        head.nuc_identity = acc / len(chain)
+        head.nuc_identity = float(_np.float32(acc / len(chain)))
         acc = 0.0
         for m in chain:
             acc += m.kmer_complexity
