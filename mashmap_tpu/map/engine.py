@@ -1216,11 +1216,18 @@ class Mapper:
             # (T, W) pairs mirroring _collect_l1's replicated ladder:
             # full-width chunks AND quarter-width tails for every bucket
             # (the runtime W_SMALL path fires for any bucket's trailing
-            # chunk, so all of them must be prewarmed)
+            # chunk). ORDER MATTERS: run's epilogue joins the prewarm
+            # thread after its in-flight job, so certainly-used shapes
+            # (full widths, small-T first) go first and tail shapes
+            # last — a slow compile of a maybe-unused tail must not
+            # stall the first runs of a fresh cache (seen as 17-20s
+            # "steady-state" bench runs burning one tail compile each).
             pairs = []
             for T in (512, 1024, 2048, L2_T_MAX):
                 W = _dev_round(max(8, AREA // T))
                 pairs.append((T, W))
+            for T in (512, 1024, 2048, L2_T_MAX):
+                W = _dev_round(max(8, AREA // T))
                 pairs.append((T, _dev_round(max(8, W // 4))))
             for T, W in pairs:
                 wargs = (S((W,), jnp.int32),) * 4 + (
