@@ -71,14 +71,18 @@ def _compact(mask, payloads, cap):
     """Order-preserving stream compaction into a fixed-size buffer.
 
     Returns (count, [payload buffers]); rows beyond cap are dropped
-    (caller checks count > cap for overflow).
+    (caller checks count > cap for overflow). Beyond the count, buffer
+    contents are UNSPECIFIED (every consumer slices/masks to the
+    count). Implementation is one multi-operand sort on the running
+    index — wide scatters run ~3.3x slower than the equivalent sort on
+    this TPU stack (41.9 vs 12.7 ms at a 4M-row mask, CLAUDE.md rule 3).
     """
     idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
     cnt = jnp.where(mask.shape[0] > 0, idx[-1] + 1, 0)
-    tgt = jnp.where(mask, jnp.minimum(idx, cap - 1), cap)
-    outs = [jnp.zeros(cap + 1, p.dtype).at[tgt].set(p)[:cap]
-            for p in payloads]
-    return cnt, outs
+    key = jnp.where(mask, idx, I32MAX)
+    sorted_ = jax.lax.sort((key,) + tuple(payloads), dimension=-1,
+                           num_keys=1)
+    return cnt, [o[:cap] for o in sorted_[1:]]
 
 
 @functools.partial(jax.jit, static_argnames=("s_b", "iv_cap", "mem_cap"))
@@ -292,17 +296,21 @@ def events_chunk(ranks, strand, theta, a0, base, n_local, n_k, n_w,
     pos = a0 + t
     valid = (ranks != RSENT) & (pos < n_k)
 
-    # --- prev/next same-hash occurrence via one LOCAL packed-key sort
-    key = jnp.where(valid,
-                    (ranks.astype(jnp.int64) << (shift + 1))
-                    | (t.astype(jnp.int64) << 1)
-                    | (strand > 0).astype(jnp.int64), KEY_PAD)
+    # --- prev/next same-hash occurrence via one LOCAL packed-key sort.
+    # Invalid rows keep their t in the key under a rank of RSENT
+    # (instead of collapsing to KEY_PAD): every row then retains its
+    # identity, sp_t is a full permutation of [0, CHP), and the
+    # scatter-back to position order becomes ONE permutation-keyed sort
+    # — the two CHP-wide scatters it replaces cost ~2x more each
+    # (12.2 ms vs 6.5 ms for the whole sort at CHP=2M, CLAUDE.md rule 3)
+    key = ((jnp.where(valid, ranks, RSENT).astype(jnp.int64)
+            << (shift + 1))
+           | (t.astype(jnp.int64) << 1)
+           | (strand > 0).astype(jnp.int64))
     skey = jax.lax.sort(key, dimension=-1)
-    svalid = skey != KEY_PAD
-    sp_t = jnp.where(svalid,
-                     ((skey >> 1) & pos_mask).astype(jnp.int32), 0)
-    sh = jnp.where(svalid, (skey >> (shift + 1)).astype(jnp.int32),
-                   I32MAX)
+    sh = (skey >> (shift + 1)).astype(jnp.int32)
+    svalid = sh != RSENT
+    sp_t = ((skey >> 1) & pos_mask).astype(jnp.int32)
     same_prev = jnp.concatenate(
         [jnp.zeros(1, bool), (sh[1:] == sh[:-1]) & svalid[1:]])
     same_next = jnp.concatenate(
@@ -312,10 +320,8 @@ def events_chunk(ranks, strand, theta, a0, base, n_local, n_k, n_w,
     next_t = jnp.where(same_next,
                        jnp.concatenate([sp_t[1:], sp_t[:1] * 0]),
                        I32MAX)
-    tgt = jnp.where(svalid, sp_t, CHP)
-    prev_t = jnp.full(CHP + 1, -1, jnp.int32).at[tgt].set(prev_t)[:CHP]
-    next_t = jnp.full(CHP + 1, I32MAX, jnp.int32).at[tgt].set(
-        next_t)[:CHP]
+    _, prev_t, next_t = jax.lax.sort(
+        (sp_t, prev_t, next_t), dimension=-1, num_keys=1)
     # global coordinates; "none in the array" stays -1 / I32MAX, which
     # answers every +-s_b-window test identically to the true global
     # occurrence (it lies beyond the halo by construction)
