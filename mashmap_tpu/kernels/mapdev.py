@@ -391,11 +391,13 @@ def l2_slice_bounds(mi_seqid, mi_wpos, c_seq, c_first, c_last,
     if M <= _SORT_LOOKUP_MAX:
         mi_key = key_at(jnp.arange(M, dtype=jnp.int32)) if M else \
             jnp.zeros((0,), jnp.int64)
-        c_lo = jnp.searchsorted(mi_key, lo_k, method="sort")
-        c_mid = jnp.searchsorted(mi_key, mid_k, method="sort")
-        c_hi = jnp.searchsorted(mi_key, hi_k, method="sort")
-        return (c_lo.astype(jnp.int32), c_mid.astype(jnp.int32),
-                c_hi.astype(jnp.int32))
+        # ONE searchsorted for all three bound sets: method='sort'
+        # re-sorts the whole table per call, so batching the queries
+        # cuts two table sorts (the table dwarfs the queries)
+        allq = jnp.stack([lo_k, mid_k, hi_k])
+        c = jnp.searchsorted(mi_key, allq, method="sort").astype(
+            jnp.int32)
+        return c[0], c[1], c[2]
 
     rounds = max(1, int(M).bit_length())
 
