@@ -35,6 +35,9 @@ from .results import MappingResult
 
 logger = logging.getLogger("mashmap_tpu.map")
 
+# shapes already AOT-prewarmed in this process (see prewarm_async)
+_PREWARMED: set = set()
+
 
 def _gather_sketch_rows(qh_dev, qs_dev, indices):
     """Device row gather of sketch hashes/strands at `indices`, with
@@ -1203,11 +1206,13 @@ class Mapper:
                     S(dev["ref_group"].shape, dev["ref_group"].dtype),
                     S(dev["mi_seqid"].shape, dev["mi_seqid"].dtype),
                     S(dev["mi_wpos"].shape, dev["mi_wpos"].dtype))
-            jobs = [lambda a=l1_args(Bp): l1_step.lower(
-                        *a, cfg=cfg).compile(),
+            jobs = [(("l1", Bp, L, NC, cfg),
+                     lambda a=l1_args(Bp): l1_step.lower(
+                         *a, cfg=cfg).compile()),
                     # the quarter-width tail batch (_dispatch_batch)
-                    lambda a=l1_args(b_small):
-                        l1_step.lower(*a, cfg=cfg).compile()]
+                    (("l1", b_small, L, NC, cfg),
+                     lambda a=l1_args(b_small):
+                         l1_step.lower(*a, cfg=cfg).compile())]
             AREA = p.l2_batch * p.l2_entries_cap // 2
             s = p.sketch_size
             mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
@@ -1233,8 +1238,9 @@ class Mapper:
                 wargs = (S((W,), jnp.int32),) * 4 + (
                     S((W, s), jnp.int32), S((W, s), jnp.int8),
                     S((W,), jnp.int32)) + mi
-                jobs.append(lambda wargs=wargs, T=T:
-                            l2_step.lower(*wargs, t_cap=T, s=s).compile())
+                jobs.append((("l2", T, W, s, mi),
+                             lambda wargs=wargs, T=T: l2_step.lower(
+                                 *wargs, t_cap=T, s=s).compile()))
             return jobs
 
         # MASHMAP_TPU_PREWARM_THREADS > 1 compiles the independent
@@ -1244,18 +1250,27 @@ class Mapper:
 
         def warm():
             try:
-                jobs = _compile_jobs()
+                # AOT .lower().compile() does NOT share the jitted-call
+                # cache: without this memo every map_files() in a
+                # process re-deserializes ~10 cached executables on this
+                # thread (~0.5-2s each on the tunnel), contending with
+                # the live run's dispatches — seen as 4-5s "steady"
+                # bench runs that drop to ~3s once the thread goes idle
+                jobs = [(key, j) for key, j in _compile_jobs()
+                        if key not in _PREWARMED]
                 if n_warm > 1:
                     from concurrent.futures import ThreadPoolExecutor
                     with ThreadPoolExecutor(max_workers=n_warm) as wex:
-                        fs = [wex.submit(j) for j in jobs]
+                        fs = [wex.submit(j) for _, j in jobs]
                         for f in fs:
                             f.result()
+                    _PREWARMED.update(key for key, _ in jobs)
                 else:
-                    for j in jobs:
+                    for key, j in jobs:
                         if stop.is_set():
                             return
                         j()
+                        _PREWARMED.add(key)
                 logger.debug("kernel prewarm complete")
             except Exception as e:      # noqa: BLE001 — best-effort
                 logger.debug("kernel prewarm skipped: %s", e)
