@@ -46,34 +46,61 @@ _SORT_LOOKUP_MAX = int(__import__("os").environ.get(
     "MASHMAP_TPU_SORT_LOOKUP_MAX", 1 << 23))
 
 
-def searchsorted_auto(table, q):
-    """side='left' searchsorted choosing the lowering by table size.
+# two-level refine step for large tables: the coarse stage buckets each
+# query to a _COARSE_STEP-wide range via ONE method='sort' searchsorted
+# on the (U/_COARSE_STEP)-entry sampled table, so the per-round
+# narrow-gather binary search only runs log2(_COARSE_STEP) rounds
+# instead of log2(U) (25+ at human scale)
+_COARSE_STEP = 4096
 
-    Small tables: jnp's method='sort' (one multi-operand sort; measured
-    2-12x over binary search at bench scale on this backend). Large
-    tables: fixed-trip-count binary search — ceil(log2(U)) rounds of
-    narrow gathers; table sizes are grid-quantized so the trip count is
-    compile-cache-stable. Bit-identical results either way.
-    """
-    U = table.shape[0]
-    if U <= _SORT_LOOKUP_MAX:
-        return jnp.searchsorted(table, q, method="sort")
-    # worst-case range hi-lo halves (floor) per round from U; it hits 0
-    # after exactly bit_length(U) rounds (U=2 -> 2 rounds, not 1)
-    rounds = max(1, int(U).bit_length())
-    lo = jnp.zeros(q.shape, jnp.int32)
-    hi = jnp.full(q.shape, U, jnp.int32)
 
+def _bounded_binsearch(value_at, U, q, lo, hi, rounds):
+    """side='left' binary search with per-query [lo, hi) start bounds;
+    value_at(idx) reads the (virtual) table."""
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
-        v = table[jnp.minimum(mid, U - 1)]
+        v = value_at(jnp.minimum(mid, U - 1))
         go = (v < q) & (lo < hi)
         return (jnp.where(go, mid + 1, lo),
                 jnp.where(lo < hi, jnp.where(go, hi, mid), hi))
 
     lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
     return lo
+
+
+def _searchsorted_big(value_at, U, q):
+    """Two-level side='left' search over a large sorted virtual table.
+
+    Correctness: with coarse[j] = table[j*S] and b = the first j with
+    coarse[j] >= q (side='left' on the sampled table), the answer i*
+    satisfies (b-1)*S < i* <= b*S, so [max(b-1,0)*S, min(b*S, U))
+    brackets it and log2(S)+1 rounds of the standard body converge.
+    """
+    S = _COARSE_STEP
+    n_coarse = -(-U // S)
+    coarse = value_at(jnp.minimum(
+        jnp.arange(n_coarse, dtype=jnp.int32) * S, U - 1))
+    b = jnp.searchsorted(coarse, q, method="sort").astype(jnp.int32)
+    lo = jnp.maximum(b - 1, 0) * S
+    hi = jnp.minimum(b.astype(jnp.int64) * S, U).astype(jnp.int32)
+    return _bounded_binsearch(value_at, U, q, lo, hi,
+                              S.bit_length() + 1)
+
+
+def searchsorted_auto(table, q):
+    """side='left' searchsorted choosing the lowering by table size.
+
+    Small tables: jnp's method='sort' (one multi-operand sort; measured
+    2-12x over binary search at bench scale on this backend). Large
+    tables: coarse bucket via a sampled sub-table, then a bounded
+    binary search — log2(_COARSE_STEP)+1 rounds of narrow gathers
+    instead of log2(U). Bit-identical results either way.
+    """
+    U = table.shape[0]
+    if U <= _SORT_LOOKUP_MAX:
+        return jnp.searchsorted(table, q, method="sort")
+    return _searchsorted_big(lambda idx: table[idx], U, q)
 
 
 class L1Config(NamedTuple):
@@ -399,24 +426,11 @@ def l2_slice_bounds(mi_seqid, mi_wpos, c_seq, c_first, c_last,
             jnp.int32)
         return c[0], c[1], c[2]
 
-    rounds = max(1, int(M).bit_length())
-
-    def search(q):
-        lo = jnp.zeros(q.shape, jnp.int32)
-        hi = jnp.full(q.shape, M, jnp.int32)
-
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = (lo + hi) >> 1
-            v = key_at(jnp.minimum(mid, M - 1))
-            go = (v < q) & (lo < hi)
-            return (jnp.where(go, mid + 1, lo),
-                    jnp.where(lo < hi, jnp.where(go, hi, mid), hi))
-
-        lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
-        return lo
-
-    return search(lo_k), search(mid_k), search(hi_k)
+    # one batched two-level search for all three bound sets (the coarse
+    # stage then samples the synthesized key table once, not thrice)
+    allq = jnp.stack([lo_k, mid_k, hi_k])
+    c = _searchsorted_big(key_at, M, allq).astype(jnp.int32)
+    return c[0], c[1], c[2]
 
 
 def unpack_l1_meta(meta: np.ndarray, c_cap: int):
