@@ -606,17 +606,25 @@ class Mapper:
                 "post_wpos": put(padded(idx.post_wpos, Pn, np.int32(0))),
                 "post_wend": put(padded(idx.post_wend, Pn, np.int32(0))),
                 "is_frequent": put(padded(idx.is_frequent, U, False)),
-                # rank domain (int32): u64 is emulated on this TPU, so
-                # the L2 compare cubes/gathers halve; pad rows are
-                # masked by e_valid in the kernel, value irrelevant
-                "mi_rank": put(padded(idx.mi_rank, M, np.int32(0))),
-                "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
-                "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
-                "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
+                # UPLOAD ORDER MATTERS on slow links: device_put is
+                # async and transfers drain roughly in put order, so
+                # the l1 kernel's dependencies (above, plus
+                # mi_seqid/mi_wpos for the slice bounds) go first —
+                # batch 1's l1 then starts while the l2-only columns
+                # (mi_rank/wend/strand, ~40% of the index bytes at
+                # human scale) are still in flight.
+                #
                 # pad seqid = INT32_MAX: synthesized pad keys must sort
                 # after every real (seqid << 32 | wpos) key
                 "mi_seqid": put(padded(idx.mi_seqid, M,
                                        np.int32(2**31 - 1))),
+                "mi_wpos": put(padded(idx.mi_wpos, M, np.int32(0))),
+                # rank domain (int32): u64 is emulated on this TPU, so
+                # the L2 compare cubes/gathers halve; pad rows are
+                # masked by e_valid in the kernel, value irrelevant
+                "mi_rank": put(padded(idx.mi_rank, M, np.int32(0))),
+                "mi_wend": put(padded(idx.mi_wend, M, np.int32(0))),
+                "mi_strand": put(padded(idx.mi_strand, M, np.int8(0))),
             })
         return self._dev
 

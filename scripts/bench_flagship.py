@@ -74,7 +74,7 @@ def build_phase():
     }), flush=True)
 
 
-def map_phase():
+def map_phase(twice: bool = False):
     from mashmap_tpu.params import Parameters
     from mashmap_tpu.api import map_files
 
@@ -87,7 +87,7 @@ def map_phase():
         percentage_identity=0.95,
         batch_fragments=2048,
     )
-    map_files(p)
+    idx = map_files(p)
     dt = time.time() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     n = sum(1 for _ in open(OUT))
@@ -100,6 +100,35 @@ def map_phase():
         "paf_rows": n,
         "peak_host_gb": round(peak_gb, 2),
     }), flush=True)
+    if twice:
+        # resident-index number: ONE Mapper instance, second run —
+        # index tables already in HBM, kernels warm. What a running
+        # mapping service pays per query set, and the apples comparison
+        # to the reference binary's map phase (whose index structures
+        # are already in its RAM when its map timer starts).
+        from mashmap_tpu.map.engine import Mapper
+        p2 = Parameters(
+            ref_sequences=[REF_FA], query_sequences=[ASM_FA],
+            out_file_name=OUT,
+            kmer_size=idx.kmer_size, seg_length=idx.window_size,
+            sketch_size=idx.sketch_size,
+            percentage_identity=0.95,
+            batch_fragments=2048,
+        ).finalize()
+        m = Mapper(p2, idx)
+        with open(OUT, "w") as out:
+            m.run([ASM_FA], out)      # pays the HBM upload once
+        t0 = time.time()
+        with open(OUT, "w") as out:
+            m.run([ASM_FA], out)
+        dt2 = time.time() - t0
+        print(json.dumps({
+            "metric": "same mapping, index resident in HBM "
+                      "(service steady state)",
+            "value": round(q_bp / 1e6 / dt2, 3),
+            "unit": "Mbp/s",
+            "total_s": round(dt2, 1),
+        }), flush=True)
 
 
 def reference_run():
@@ -124,6 +153,6 @@ if __name__ == "__main__":
             "--build-only" in sys.argv or not idx_ok()):
         build_phase()
     if "--build-only" not in sys.argv:
-        map_phase()
+        map_phase(twice="--map-twice" in sys.argv)
     if "--ref-binary-too" in sys.argv:
         reference_run()
