@@ -1226,22 +1226,18 @@ class Mapper:
             mi = tuple(S(dev[k].shape, dev[k].dtype) for k in (
                 "mi_rank", "mi_wpos", "mi_wend", "mi_strand",
                 "mi_seqid"))
-            # (T, W) pairs mirroring _collect_l1's replicated ladder:
-            # full-width chunks AND quarter-width tails for every bucket
-            # (the runtime W_SMALL path fires for any bucket's trailing
-            # chunk). ORDER MATTERS: run's epilogue joins the prewarm
-            # thread after its in-flight job, so certainly-used shapes
-            # (full widths, small-T first) go first and tail shapes
-            # last — a slow compile of a maybe-unused tail must not
-            # stall the first runs of a fresh cache (seen as 17-20s
-            # "steady-state" bench runs burning one tail compile each).
+            # ONLY the shapes the first batches certainly hit: l2
+            # full widths for the two buckets that dominate real span
+            # mixes. Prewarming every bucket+tail backfired on this
+            # backend — compile RPCs throttle concurrent execution, the
+            # run epilogue stops the thread after its in-flight job,
+            # and the leftover jobs then burned INSIDE later runs
+            # (bench_extra timed runs ran 7x slow). Rare buckets/tails
+            # compile on first hit, once ever (persistent cache).
             pairs = []
-            for T in (512, 1024, 2048, L2_T_MAX):
+            for T in (512, 1024):
                 W = _dev_round(max(8, AREA // T))
                 pairs.append((T, W))
-            for T in (512, 1024, 2048, L2_T_MAX):
-                W = _dev_round(max(8, AREA // T))
-                pairs.append((T, _dev_round(max(8, W // 4))))
             for T, W in pairs:
                 wargs = (S((W,), jnp.int32),) * 4 + (
                     S((W, s), jnp.int32), S((W, s), jnp.int8),
