@@ -82,7 +82,18 @@ def _compact(mask, payloads, cap):
     key = jnp.where(mask, idx, I32MAX)
     sorted_ = jax.lax.sort((key,) + tuple(payloads), dimension=-1,
                            num_keys=1)
-    return cnt, [o[:cap] for o in sorted_[1:]]
+    # the output buffer must be EXACTLY cap long even when the mask is
+    # shorter (events_caps can exceed a small chunk's padded length):
+    # callers pack segments at cap offsets, so a short buffer would
+    # shift the whole packed layout
+    outs = []
+    for o in sorted_[1:]:
+        o = o[:cap]
+        if o.shape[0] < cap:
+            o = jnp.concatenate(
+                [o, jnp.zeros(cap - o.shape[0], o.dtype)])
+        outs.append(o)
+    return cnt, outs
 
 
 @functools.partial(jax.jit, static_argnames=("s_b", "iv_cap", "mem_cap"))
