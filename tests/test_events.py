@@ -97,3 +97,51 @@ def test_overflow_flag():
             [theta, np.full(Np - len(theta), RSENT, np.int32)])),
         np.int32(n), np.int32(len(theta)), s_b, iv_cap, 8))
     assert ev.unpack_events(buf, iv_cap, 8) is None
+
+
+def test_chunk_nonpow2_cap_exceeds_length():
+    """Regression: events_caps can return caps LARGER than a small
+    chunk's (non-pow2, grid-padded) length; the packed buffer segments
+    must still sit at exact cap offsets (a short segment shifts every
+    later lane — wrong member positions => wrong interval strands).
+    Cross-checks events_chunk against the host oracle at such a shape."""
+    rng = np.random.default_rng(11)
+    s, s_b = 60, 500
+    n = 5000
+    ranks, strand, theta = _random_case(rng, n, 300, s, s_b, 0.05)
+    n_w = len(theta)
+    CHP = 6144                       # 1.5 * 2^12: grid, not pow2
+    caps = ev.events_caps(CHP, s, s_b)
+    assert caps[0] > CHP, "shape must exercise cap > chunk length"
+    rv = np.full(CHP, RSENT, np.int32); rv[:n] = ranks
+    sv = np.zeros(CHP, np.int8); sv[:n] = strand
+    th = np.full(CHP, RSENT, np.int32); th[:n_w] = theta
+    buf = np.asarray(ev.events_chunk(
+        jnp.asarray(rv), jnp.asarray(sv), jnp.asarray(th),
+        np.int32(0), np.int32(0), np.int32(CHP), np.int32(n),
+        np.int32(n_w), s_b, caps[0], caps[1]))
+    c1, c2 = caps
+    nb, ne, nm, ovf = buf[-4], buf[-3], buf[-2], buf[-1]
+    assert not ovf
+    assert len(buf) == 4 * c1 + 2 * c2 + 4, "packed layout must be cap-sized"
+    bh, bW = buf[:nb], buf[c1:c1 + nb]
+    eh, eW = buf[2 * c1:2 * c1 + ne], buf[3 * c1:3 * c1 + ne]
+    m_rk = buf[4 * c1:4 * c1 + nm]
+    m_pos = buf[4 * c1 + c2:4 * c1 + c2 + nm]
+    # host oracle: intervals via pairing, members via part A
+    (hp, hb, he), (hmh, hmb, hme, hms) = _host_parts(
+        ranks, strand, theta, s_b)
+    iv_hash, iv_wb, iv_we, _ = builder._pair_begin_end(
+        bh, bW.astype(np.int64), eh, eW.astype(np.int64), n)
+    iv_we = np.where(iv_we < 0, n, iv_we)
+    sh, sb_, se, ss = builder.strand_classify(
+        iv_hash, iv_wb, iv_we, m_pos.astype(np.int64),
+        (m_rk >> 1), ((m_rk & 1) * 2 - 1).astype(np.int64),
+        n_w, s_b, n, np.int32)
+    np.testing.assert_array_equal(hp, iv_hash)
+    np.testing.assert_array_equal(hb, iv_wb)
+    np.testing.assert_array_equal(he, iv_we)
+    np.testing.assert_array_equal(hmh, sh)
+    np.testing.assert_array_equal(hmb, sb_)
+    np.testing.assert_array_equal(hme, se)
+    np.testing.assert_array_equal(hms, ss)
