@@ -81,6 +81,13 @@ def sketch_fragments(frags: jax.Array, k: int, s: int):
         (keyr, jnp.broadcast_to(j_row[None], (B, Lk))),
         dimension=-1, num_keys=1)
     r_ext = r_ext[:, :s + 1]      # garbage beyond n_distinct (masked)
+    if r_ext.shape[1] < s + 1:
+        # s >= window count (tiny fragments or huge -J): fewer than s+1
+        # columns exist; pad like the scatter form's fill so the (B, s)
+        # output shape holds
+        r_ext = jnp.concatenate(
+            [r_ext, jnp.full((B, s + 1 - r_ext.shape[1]), Lk - 1,
+                             jnp.int32)], axis=1)
     r_idx = r_ext[:, :s]
     r_idx_c = jnp.minimum(r_idx, L - k)
     out_h = jnp.take_along_axis(skey, r_idx_c, axis=-1)

@@ -39,6 +39,24 @@ logger = logging.getLogger("mashmap_tpu.map")
 _PREWARMED: set = set()
 
 
+def _batch_pad_rows(B: int, batch_fragments: int, n_dev: int) -> int:
+    """Padded row count for a B-fragment batch: {2^k, 1.5*2^k} grid,
+    quarter-width tail floor, full-batch floor, device divisibility.
+    THE single source of truth — _dispatch_batch sizes real batches with
+    it and prewarm_async compiles exactly these shapes."""
+    Bp = 1 << max(3, (B - 1).bit_length())
+    if B <= (Bp * 3) // 4:
+        Bp = (Bp * 3) // 4
+    # clamp: the tail shape must never exceed the full-batch shape
+    # (batch_fragments < 64 configs would otherwise pad UP to 64)
+    b_small = min(batch_fragments, max(64, batch_fragments // 4))
+    if B <= b_small:
+        Bp = b_small
+    else:
+        Bp = max(batch_fragments, Bp)
+    return Bp + (-Bp) % n_dev
+
+
 def _gather_sketch_rows(qh_dev, qs_dev, indices):
     """Device row gather of sketch hashes/strands at `indices`, with
     the index vector padded to a pow2 grid (repeating indices[0]) so
@@ -713,18 +731,7 @@ class Mapper:
         # drops to a quarter-width program when it fits — l1_step cost
         # is ~linear in rows, so a 176-fragment tail in a 1024-row batch
         # would pay ~6x its real work.
-        Bp = 1 << (B - 1).bit_length()
-        if B <= (Bp * 3) // 4:
-            Bp = (Bp * 3) // 4
-        # clamp: the tail shape must never exceed the full-batch shape
-        # (batch_fragments < 64 configs would otherwise pad UP to 64)
-        b_small = min(p.batch_fragments, max(64, p.batch_fragments // 4))
-        if B <= b_small:
-            Bp = b_small
-        else:
-            Bp = max(p.batch_fragments, Bp)
-        if Bp % self._n_dev:
-            Bp += self._n_dev - Bp % self._n_dev
+        Bp = _batch_pad_rows(B, p.batch_fragments, self._n_dev)
         matp = mat
         allowedp = allowed
         if Bp > B:
@@ -1186,21 +1193,16 @@ class Mapper:
             S = jax.ShapeDtypeStruct
             # mirror _dispatch_batch's padding: full batches land
             # on the {2^k, 1.5*2^k} grid floored at batch_fragments
-            B = p.batch_fragments
-            g = 1 << max(3, (B - 1).bit_length())
-            if B <= (g * 3) // 4:
-                g = (g * 3) // 4
-            Bp = max(p.batch_fragments, g)
-
             def _dev_round(n):
-                # _dispatch_batch rounds every batch up to a multiple of
-                # the device count; prewarm must mirror it or multi-
+                # _collect_l1 rounds l2 chunk widths up to a multiple
+                # of the device count; prewarm must mirror it or multi-
                 # device runs recompile the tail on the fly
                 return n + (-n) % self._n_dev
 
-            Bp = _dev_round(Bp)
-            b_small = _dev_round(
-                min(p.batch_fragments, max(64, p.batch_fragments // 4)))
+            # batch shapes through the SAME helper _dispatch_batch uses
+            Bp = _batch_pad_rows(p.batch_fragments, p.batch_fragments,
+                                 self._n_dev)
+            b_small = _batch_pad_rows(1, p.batch_fragments, self._n_dev)
             L = p.seg_length
             NC = self._n_contigs_padded
             def l1_args(Bn):
@@ -1214,11 +1216,14 @@ class Mapper:
                     S(dev["ref_group"].shape, dev["ref_group"].dtype),
                     S(dev["mi_seqid"].shape, dev["mi_seqid"].dtype),
                     S(dev["mi_wpos"].shape, dev["mi_wpos"].dtype))
-            jobs = [(("l1", Bp, L, NC, cfg),
+            # keys carry the FULL arg shapes: two indexes can share
+            # (Bp, L, NC, cfg) but differ in padded table sizes, which
+            # change the compiled executable
+            jobs = [(("l1", l1_args(Bp), cfg),
                      lambda a=l1_args(Bp): l1_step.lower(
                          *a, cfg=cfg).compile()),
                     # the quarter-width tail batch (_dispatch_batch)
-                    (("l1", b_small, L, NC, cfg),
+                    (("l1", l1_args(b_small), cfg),
                      lambda a=l1_args(b_small):
                          l1_step.lower(*a, cfg=cfg).compile())]
             AREA = p.l2_batch * p.l2_entries_cap // 2

@@ -11,6 +11,10 @@ the union and whose identity/complexity are the chain means.
 from __future__ import annotations
 
 import math
+import numpy as np
+
+from .output import cpp_round
+
 from typing import List
 
 from .results import MappingResult
@@ -113,7 +117,6 @@ def merge_mappings_in_range(mappings: List[MappingResult],
         head.ref_end = max(m.ref_end for m in chain)
         head.block_length = max(head.ref_end - head.ref_start,
                                 head.query_end - head.query_start)
-        from .output import cpp_round
         head.approx_matches = cpp_round(
             head.nuc_identity * head.block_length / 100.0)
         head.n_merged = len(chain)
@@ -125,11 +128,10 @@ def merge_mappings_in_range(mappings: List[MappingResult],
         # 6th printed id:f digit (seen on 3 of the 250 flagship rows at
         # chains of hundreds of fragments). kmerComplexity is a long
         # double member (base_types.hpp:173) — no rounding there.
-        import numpy as _np
         acc = 0.0
         for m in chain:
             acc += m.nuc_identity
-        head.nuc_identity = float(_np.float32(acc / len(chain)))
+        head.nuc_identity = float(np.float32(acc / len(chain)))
         acc = 0.0
         for m in chain:
             acc += m.kmer_complexity

@@ -62,3 +62,20 @@ def test_all_n_fragment():
     assert int(cnt[0]) == 0
     assert float(cx[0]) == 0.0
     assert np.all(np.asarray(h) == UMAX)
+
+
+def test_sketch_size_exceeds_window_count():
+    """Regression: s >= L-k+1 (tiny fragments or huge -J) must produce
+    the valid min(s, n_distinct)-entry sketch, not a broadcast crash."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for (L, k, s) in [(20, 5, 16), (25, 5, 21), (30, 11, 40)]:
+        frags = rng.choice(bases, (2, L))
+        h, st, cnt, _ = sketch_fragments(jnp.asarray(frags), k, s)
+        assert h.shape == (2, s)
+        for i in range(2):
+            oh, ostr, ocnt, _ = sketch_sequence_py(frags[i], k, s)
+            assert int(cnt[i]) == ocnt
+            np.testing.assert_array_equal(np.asarray(h[i][:ocnt]), oh)
+            np.testing.assert_array_equal(np.asarray(st[i][:ocnt]), ostr)
