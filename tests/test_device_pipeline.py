@@ -197,3 +197,27 @@ def test_rank_code_order_isomorphism():
     qs_u = np.sort(q)
     np.testing.assert_array_equal(
         np.searchsorted(qs_u, table), np.searchsorted(qs, t_code))
+
+
+def test_searchsorted_big_two_level_exactness():
+    """The >8M-entry lookup path (flagship scale) uses a coarse sampled
+    stage + bounded refine (mapdev._searchsorted_big); pin exactness
+    against np.searchsorted including duplicate runs, exact hits and
+    extremes, at sizes straddling non-multiples of the coarse step."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mashmap_tpu.kernels import mapdev
+
+    rng = np.random.default_rng(0)
+    for U in (9_000_000, 12_345_677):
+        t = np.sort(rng.integers(0, 1 << 62, U).astype(np.int64))
+        t[1000:2000] = t[1000]          # a duplicate run
+        t = np.sort(t)
+        q = np.concatenate([
+            rng.integers(0, 1 << 62, 2000).astype(np.int64),
+            t[rng.integers(0, U, 1000)],          # exact hits
+            [t[0], t[-1], 0, (1 << 62) + 5, t[1000]]])
+        want = np.searchsorted(t, q, side="left")
+        got = np.asarray(mapdev.searchsorted_auto(
+            jnp.asarray(t), jnp.asarray(q)))
+        np.testing.assert_array_equal(got, want)
